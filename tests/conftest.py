@@ -1,0 +1,22 @@
+"""Test configuration: force a virtual 8-device CPU mesh for all tests.
+
+TPU hardware is exercised separately by bench.py and the driver; unit tests
+must be hermetic and runnable anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x5EED)
