@@ -6,12 +6,22 @@ must be hermetic and runnable anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Force CPU regardless of ambient config. The driver environment pre-sets
+# JAX_PLATFORMS=axon (a tunneled TPU) AND its sitecustomize hook calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+# overrides env vars — so we must override the config itself, after jax
+# import. Set DIETGPU_TEST_TPU=1 to opt in to running on real hardware.
+if not os.environ.get("DIETGPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
