@@ -1,0 +1,384 @@
+"""Public batch API: the dietTPU equivalent of the DietGPU torch ops.
+
+The ten reference ops (DietGpu.cpp:915-972) map to this JAX-functional
+surface (outputs are returned, never written in place):
+
+  torch.ops.dietgpu.*                 dietgpu_tpu.api.*
+  ---------------------------------   ---------------------------------------
+  max_any_compressed_size             max_any_compressed_size
+  max_float_compressed_size           max_float_compressed_size
+  max_any_compressed_output_size      max_any_compressed_output_size
+  max_float_compressed_output_size    max_float_compressed_output_size
+  compress_data                       compress_data -> (comp, sizes, tempMem)
+  compress_data_split_size            compress_data_split_size
+  compress_data_simple                compress_data_simple
+  decompress_data                     decompress_data -> (outs, status, sizes)
+  decompress_data_split_size          decompress_data_split_size
+  decompress_data_simple              decompress_data_simple
+
+Batch members are padded to a shared bucket (power-of-two blocks) and the
+whole batch is processed by one vmapped, jitted program; compilations are
+cached per (batch, bucket, dtype, flags).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+from .ans import decode as ans_decode_mod
+from .ans import encode as ans_encode_mod
+from .floatcodec import codec as float_codec_mod
+from .ref import ans_ref, float_ref
+
+_I32 = jnp.int32
+
+_FLOAT_TYPE_BY_NAME = {
+    "float16": C.FLOAT_TYPE_FLOAT16,
+    "bfloat16": C.FLOAT_TYPE_BFLOAT16,
+    "float32": C.FLOAT_TYPE_FLOAT32,
+}
+_DTYPE_BY_FLOAT_TYPE = {
+    C.FLOAT_TYPE_FLOAT16: jnp.float16,
+    C.FLOAT_TYPE_BFLOAT16: jnp.bfloat16,
+    C.FLOAT_TYPE_FLOAT32: jnp.float32,
+}
+_WORD_DTYPE = {2: jnp.uint16, 4: jnp.uint32}
+
+
+def float_type_of(dtype) -> int:
+    name = jnp.dtype(dtype).name
+    if name not in _FLOAT_TYPE_BY_NAME:
+        raise ValueError(f"unsupported float dtype {name}")
+    return _FLOAT_TYPE_BY_NAME[name]
+
+
+def _byte_length(t: jax.Array) -> int:
+    return t.size * t.dtype.itemsize
+
+
+def _bucket_words(max_words: int) -> int:
+    """Pad to a power-of-two number of 4096-word blocks (compile caching)."""
+    blocks = max(1, C.div_up(max_words, C.DEFAULT_BLOCK_SIZE))
+    p = 1
+    while p < blocks:
+        p *= 2
+    return p * C.DEFAULT_BLOCK_SIZE
+
+
+def _as_u8(t: jax.Array) -> jax.Array:
+    t = t.reshape(-1)
+    if t.dtype == jnp.uint8:
+        return t
+    return jax.lax.bitcast_convert_type(t, jnp.uint8).reshape(-1)
+
+
+def _as_words(t: jax.Array) -> jax.Array:
+    """Raw word view (u16/u32) of a float array."""
+    wd = _WORD_DTYPE[t.dtype.itemsize]
+    return jax.lax.bitcast_convert_type(t.reshape(-1), wd).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# size queries (host)
+# ---------------------------------------------------------------------------
+
+
+def max_any_compressed_size(nbytes: int) -> int:
+    """Reference-parity archive size bound (GpuANSEncode.cu:13-25)."""
+    return C.max_compressed_size(nbytes)
+
+
+def max_float_compressed_size(dtype, size: int) -> int:
+    return C.max_float_compressed_size(float_type_of(dtype), size)
+
+
+def max_any_compressed_output_size(ts: Sequence[jax.Array]) -> tuple[int, int]:
+    return len(ts), max(max_any_compressed_size(_byte_length(t)) for t in ts)
+
+
+def max_float_compressed_output_size(ts: Sequence[jax.Array]) -> tuple[int, int]:
+    return len(ts), max(
+        max_float_compressed_size(t.dtype, t.size) for t in ts
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted batch kernels (cached per shape/config)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_ans_encode(L: int, prob_bits: int, checksum: bool):
+    def one(d, n):
+        return ans_encode_mod.ans_encode_padded(d, n, prob_bits, checksum)
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_ans_decode(A: int, L: int, prob_bits: int, checksum: bool):
+    def one(arc, cap):
+        r = ans_decode_mod.ans_decode_padded(arc, prob_bits, L, checksum)
+        ok = r["success"] & (r["size"] <= cap.astype(jnp.uint32))
+        return r["out"], r["size"], ok, r["checksum_ok"]
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_float_encode(Lw: int, float_type: int, prob_bits: int, checksum: bool):
+    def one(w, n):
+        return float_codec_mod.float_compress_padded(
+            w, n, float_type, prob_bits, checksum
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_float_decode(F: int, Lw: int, float_type: int, prob_bits: int, checksum: bool):
+    def one(arc, cap):
+        r = float_codec_mod.float_decompress_padded(
+            arc, float_type, Lw, prob_bits, checksum
+        )
+        ok = r["success"] & (r["size"] <= cap.astype(jnp.uint32))
+        return r["out"], r["size"], ok, r["checksum_ok"]
+
+    return jax.jit(jax.vmap(one))
+
+
+# ---------------------------------------------------------------------------
+# compress
+# ---------------------------------------------------------------------------
+
+
+def compress_data(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Compress a batch of arrays.
+
+    Returns (comp u8 (B, bufsize), sizes i32 (B,), temp_mem_used int).
+    Row b's archive occupies comp[b, :sizes[b]].
+    """
+    if len(ts_in) == 0:
+        raise ValueError("empty batch")
+    if compress_as_float:
+        ft = float_type_of(ts_in[0].dtype)
+        for t in ts_in:
+            if float_type_of(t.dtype) != ft:
+                raise ValueError("all batch members must share a dtype")
+        words = [_as_words(t) for t in ts_in]
+        lens = np.array([w.size for w in words], np.int32)
+        Lw = _bucket_words(int(lens.max()))
+        padded = jnp.stack(
+            [jnp.pad(w, (0, Lw - w.size)) for w in words]
+        )
+        fn = _batch_float_encode(Lw, ft, prob_bits, checksum)
+        comp, sizes = fn(padded, jnp.asarray(lens))
+        max_size = int(lens.max()) * C.float_word_size(ft)
+    else:
+        datas = [_as_u8(t) for t in ts_in]
+        lens = np.array([d.size for d in datas], np.int32)
+        L = _bucket_words(int(lens.max()))
+        padded = jnp.stack([jnp.pad(d, (0, L - d.size)) for d in datas])
+        fn = _batch_ans_encode(L, prob_bits, checksum)
+        comp, sizes = fn(padded, jnp.asarray(lens))
+        max_size = int(lens.max())
+
+    temp_mem = ans_encode_mod.encode_scratch_bytes(max_size, len(ts_in))
+    return comp, sizes.astype(_I32), temp_mem
+
+
+def compress_data_simple(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Convenience tier: returns a list of exactly-sized archive arrays
+    (device->host sync for the sizes, like the reference's _simple ops)."""
+    comp, sizes, _ = compress_data(compress_as_float, ts_in, checksum, prob_bits)
+    sizes_h = np.asarray(jax.device_get(sizes))
+    comp_h = jax.device_get(comp)
+    return [jnp.asarray(comp_h[i, : sizes_h[i]]) for i in range(len(ts_in))]
+
+
+def compress_data_split_size(
+    compress_as_float: bool,
+    t_in: jax.Array,
+    split_sizes: Sequence[int],
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Compress consecutive splits of one flat array as a batch.
+
+    Interior splits must keep 4-byte alignment of their start offsets within
+    the flat buffer (reference requirement, GpuANSEncode.cu:131-148).
+    """
+    split_sizes = [int(s) for s in split_sizes]
+    if sum(split_sizes) != t_in.size:
+        raise ValueError("split sizes must sum to the input size")
+    word = t_in.dtype.itemsize
+    off = 0
+    pieces = []
+    for s in split_sizes[:-1]:
+        off += s * word
+        if off % C.ANS_REQUIRED_ALIGNMENT != 0:
+            raise ValueError(
+                "interior split boundaries must be 4-byte aligned "
+                f"(offset {off})"
+            )
+    off = 0
+    flat = t_in.reshape(-1)
+    for s in split_sizes:
+        pieces.append(jax.lax.dynamic_slice(flat, (off,), (s,)))
+        off += s
+    return compress_data(compress_as_float, pieces, checksum, prob_bits)
+
+
+# ---------------------------------------------------------------------------
+# decompress
+# ---------------------------------------------------------------------------
+
+
+def _stack_archives(ts_in: Sequence[jax.Array], bufsize: int) -> jax.Array:
+    rows = []
+    for t in ts_in:
+        b = _as_u8(t)
+        if b.size > bufsize:
+            b = b[:bufsize]
+        rows.append(jnp.pad(b, (0, bufsize - b.size)))
+    return jnp.stack(rows)
+
+
+def decompress_data(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    ts_out: Sequence[jax.Array],
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Decompress archives into arrays shaped/typed like ts_out.
+
+    Returns (outs, status u8 (B,), sizes i32 (B,), temp_mem_used). Per the
+    reference contract, status[b] is 0 and sizes[b] holds the required byte
+    count when ts_out[b] is too small (GpuANSCodec.h:213-223). A checksum
+    mismatch raises ValueError (DietGpu.cpp:617-620).
+    """
+    B = len(ts_in)
+    assert len(ts_out) == B and B > 0
+    if compress_as_float:
+        ft = float_type_of(ts_out[0].dtype)
+        caps = np.array([t.size for t in ts_out], np.int32)
+        Lw = _bucket_words(int(caps.max()))
+        F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
+        arcs = _stack_archives(ts_in, F)
+        fn = _batch_float_decode(F, Lw, ft, prob_bits, checksum)
+        out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
+        outs = [
+            jax.lax.bitcast_convert_type(
+                out[i, : ts_out[i].size], ts_out[i].dtype
+            ).reshape(ts_out[i].shape)
+            for i in range(B)
+        ]
+        sizes_bytes = sizes.astype(_I32) * C.float_word_size(ft)
+    else:
+        caps = np.array([_byte_length(t) for t in ts_out], np.int32)
+        L = _bucket_words(int(caps.max()))
+        A = ans_encode_mod.archive_buffer_bytes(L)
+        arcs = _stack_archives(ts_in, A)
+        fn = _batch_ans_decode(A, L, prob_bits, checksum)
+        out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
+        outs = []
+        for i, t in enumerate(ts_out):
+            raw = out[i, : _byte_length(t)]
+            if t.dtype != jnp.uint8:
+                raw = jax.lax.bitcast_convert_type(
+                    raw.reshape(-1, t.dtype.itemsize), t.dtype
+                )
+            outs.append(raw.reshape(t.shape))
+        sizes_bytes = sizes.astype(_I32)
+
+    if checksum and not bool(jnp.all(cs_ok)):
+        bad = np.nonzero(~np.asarray(jax.device_get(cs_ok)))[0].tolist()
+        raise ValueError(f"checksum mismatch in batch elements {bad}")
+    return outs, ok.astype(jnp.uint8), sizes_bytes, 0
+
+
+def decompress_data_simple(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    checksum: bool = False,
+):
+    """Size-discovery tier: reads archive headers (host sync), allocates
+    exact outputs, then decompresses (DietGpu.cpp:821-911)."""
+    infos = get_compressed_info(compress_as_float, ts_in)
+    outs_spec = []
+    for info in infos:
+        if compress_as_float:
+            dt = _DTYPE_BY_FLOAT_TYPE[info["float_type"]]
+            outs_spec.append(jnp.zeros(info["size"], dt))
+        else:
+            outs_spec.append(jnp.zeros(info["total_uncompressed_words"], jnp.uint8))
+    prob_bits = (
+        C.DEFAULT_PROB_BITS
+        if compress_as_float
+        else infos[0]["prob_bits"]
+    )
+    outs, status, sizes, _ = decompress_data(
+        compress_as_float, ts_in, outs_spec, checksum, prob_bits
+    )
+    if not bool(jnp.all(status.astype(bool))):
+        raise ValueError("decompression failed")
+    return outs
+
+
+def decompress_data_split_size(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    t_out: jax.Array,
+    split_sizes: Sequence[int],
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Decompress a batch into consecutive splits of one flat output."""
+    split_sizes = [int(s) for s in split_sizes]
+    if sum(split_sizes) != t_out.size:
+        raise ValueError("split sizes must sum to the output size")
+    pieces = []
+    off = 0
+    flat = t_out.reshape(-1)
+    for s in split_sizes:
+        pieces.append(jax.lax.dynamic_slice(flat, (off,), (s,)))
+        off += s
+    outs, status, sizes, tm = decompress_data(
+        compress_as_float, ts_in, pieces, checksum, prob_bits
+    )
+    return jnp.concatenate([o.reshape(-1) for o in outs]), status, sizes, tm
+
+
+# ---------------------------------------------------------------------------
+# archive info
+# ---------------------------------------------------------------------------
+
+
+def get_compressed_info(compress_as_float: bool, ts_in: Sequence[jax.Array]):
+    """Parse archive headers (host-side). Returns a list of dicts."""
+    infos = []
+    for t in ts_in:
+        buf = np.asarray(jax.device_get(_as_u8(t)))
+        if compress_as_float:
+            infos.append(float_ref.parse_float_header(buf))
+        else:
+            infos.append(ans_ref.parse_header(buf))
+    return infos
