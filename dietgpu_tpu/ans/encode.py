@@ -95,12 +95,23 @@ def _encode_core(data, length, prob_bits, pdf):
     return states, vals.transpose(1, 0, 2), mask.transpose(1, 0, 2)
 
 
+def ans_encode_padded_with_pdf(data, length, prob_bits, pdf, use_checksum=False):
+    """Encode with an externally-supplied quantized probability table.
+
+    Used by the distributed layer to encode all shards of one logical tensor
+    with a single shared table (derived from a psum'd histogram)."""
+    return ans_encode_padded(
+        data, length, prob_bits, use_checksum, precomputed_pdf=pdf
+    )
+
+
 def ans_encode_padded(
     data: jnp.ndarray,
     length,
     prob_bits: int = C.DEFAULT_PROB_BITS,
     use_checksum: bool = False,
     precomputed_histogram=None,
+    precomputed_pdf=None,
 ):
     """Compress data[:length] into a coalesced ANS archive.
 
@@ -124,12 +135,15 @@ def ans_encode_padded(
     length = jnp.asarray(length, _I32)
     nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
 
-    hist = (
-        precomputed_histogram
-        if precomputed_histogram is not None
-        else stats.histogram_u8(data, length)
-    )
-    pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+    if precomputed_pdf is not None:
+        pdf = precomputed_pdf.astype(_U32)
+    else:
+        hist = (
+            precomputed_histogram
+            if precomputed_histogram is not None
+            else stats.histogram_u8(data, length)
+        )
+        pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
     states, vals, mask = _encode_core(data, length, prob_bits, pdf)
 

@@ -1,0 +1,11 @@
+"""Multi-chip / multi-host scaling: sharded codec + compressed collectives."""
+
+from .sharding import (  # noqa: F401
+    make_mesh,
+    shard_compress,
+    shard_decompress,
+)
+from .collectives import (  # noqa: F401
+    compressed_all_gather,
+    compressed_all_to_all,
+)
