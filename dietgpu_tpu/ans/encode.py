@@ -157,6 +157,34 @@ def ans_encode_padded(
     compacted = (
         jnp.zeros((NB, MW + 1), _U32).at[rows, cols].set(flat_vals)[:, :MW]
     )
+    return assemble_archive(
+        L, pdf, states, words, compacted, length, nb, prob_bits, use_checksum,
+        data=data,
+    )
+
+
+def assemble_archive(
+    L: int,
+    pdf,
+    states,
+    words,
+    compacted,
+    length,
+    nb,
+    prob_bits: int,
+    use_checksum: bool,
+    data=None,
+    checksum=None,
+):
+    """Assemble the coalesced archive from per-block encoder results.
+
+    Shared epilogue for the XLA and Pallas encoders. `states` is (NB, 32)
+    u32 final lane states, `words` (NB,) i32 per-block compressed word
+    counts, `compacted` (NB, MW) u32-held-u16 dense streams.
+    """
+    NB = L // C.DEFAULT_BLOCK_SIZE
+    MW = C.MAX_COMP_WORDS_PER_BLOCK
+    length = jnp.asarray(length, _I32)
 
     words_padded = C.round_up(words, C.WORDS_PER_ALIGN)
     prefix = jnp.concatenate(
@@ -165,7 +193,10 @@ def ans_encode_padded(
     total_words = words_padded.sum()
 
     # --- archive assembly (u32 words, little-endian) ---
-    checksum = checksum_u8(data, length) if use_checksum else _U32(0)
+    if checksum is None:
+        checksum = (
+            checksum_u8(data, length) if use_checksum else _U32(0)
+        )
     options = _U32(prob_bits | (int(use_checksum) << 4))
     header = jnp.array(
         [(C.ANS_MAGIC << 16) | C.ANS_VERSION, 0, 0, 0, 0, 0, 0, 0], _U32

@@ -31,8 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import backend as backend_mod
 from . import constants as C
-from .ans import decode as ans_decode_mod
 from .ans import encode as ans_encode_mod
 from .floatcodec import codec as float_codec_mod
 from .ref import ans_ref, float_ref
@@ -117,7 +117,7 @@ def max_float_compressed_output_size(ts: Sequence[jax.Array]) -> tuple[int, int]
 @functools.lru_cache(maxsize=None)
 def _batch_ans_encode(L: int, prob_bits: int, checksum: bool):
     def one(d, n):
-        return ans_encode_mod.ans_encode_padded(d, n, prob_bits, checksum)
+        return backend_mod.ans_encode_padded(d, n, prob_bits, checksum)
 
     return jax.jit(jax.vmap(one))
 
@@ -125,7 +125,7 @@ def _batch_ans_encode(L: int, prob_bits: int, checksum: bool):
 @functools.lru_cache(maxsize=None)
 def _batch_ans_decode(A: int, L: int, prob_bits: int, checksum: bool):
     def one(arc, cap):
-        r = ans_decode_mod.ans_decode_padded(arc, prob_bits, L, checksum)
+        r = backend_mod.ans_decode_padded(arc, prob_bits, L, checksum)
         ok = r["success"] & (r["size"] <= cap.astype(jnp.uint32))
         return r["out"], r["size"], ok, r["checksum_ok"]
 
