@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from . import layout
 from . import stats
 from .checksum import checksum_u8
 
@@ -253,6 +254,6 @@ def assemble_archive(
     data_start = bw_start + rnb2 * 2
     buf = jax.lax.dynamic_update_slice(buf, payload32, (data_start,))
 
-    archive = jax.lax.bitcast_convert_type(buf, jnp.uint8).reshape(-1)
+    archive = layout.u32_to_u8le(buf)
     size = (data_start + total_words // 2).astype(_U32) * 4
     return archive, size

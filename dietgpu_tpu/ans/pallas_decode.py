@@ -1,22 +1,31 @@
 """Pallas TPU rANS decoder — the hot decode loop as a Mosaic kernel.
 
-TPU-native redesign of the reference decode kernel (GpuANSDecode.cuh:305-403):
-the warp-per-block loop becomes a grid of block tiles; each tile holds T
-blocks, one block per sublane row, with the 32 interleaved rANS states in
-lanes 0..31. All per-symbol table lookups are lane-wise `tpu.dynamic_gather`s
-(the only fast gather on TPU): the 2^probBits -> symbol LUT is packed four
-u8 symbols per i32 so a lookup is K/512 row-gathers, and (pdf | cdf<<12) is a
-256-entry two-row gather. The backwards u16 stream reads
-(GpuANSDecode.cuh:91-104) are handled by staging each block's stream
-*reversed* and packed two words per i32 (XLA prologue, runs at HBM speed), so
-every block's read pointer starts at 0 and advances monotonically; per step
-the readers gather from a small window of 128-lane pages selected by a
-dynamically-bounded page loop. Warp ballot/popc becomes a suffix-sum over
-lanes via 5 static rolls; output bytes are packed 4-per-i32 with two MXU
-matmuls per 4 steps and stored one 512-byte chunk at a time.
+TPU-native redesign of the reference decode kernel (GpuANSDecode.cuh:305-403).
+Layout: a grid of block tiles; each tile holds T blocks, one block per
+sublane row, the 32 interleaved rANS states in lanes 0..31 (the "warp" of
+GpuANSUtils.cuh:62-65 mapped onto VPU lanes).
+
+Data movement (the part XLA gathers do ~1000x too slowly on TPU) happens
+in-kernel:
+  * one DMA per tile pulls the tile's contiguous payload row range from the
+    archive (HBM) into VMEM — block payloads are prefix-ordered so a tile's
+    streams are contiguous (GpuANSUtils.cuh:219-224);
+  * a short scalar loop realigns each block's stream to an 11-row window at
+    512-byte granularity; the residual sub-row offset is folded into the
+    read-index arithmetic (no data rotation).
+
+Per decode step the kernel does: two-level symbol lookup via lane-wise
+`tpu.dynamic_gather` (2^probBits u8 symbols packed 4/i32, then pdf|cdf<<12 by
+symbol), the rANS state update, and the backwards u16 stream reads
+(GpuANSDecode.cuh:91-104) from a 256-word register window refilled once per
+4 steps by a dynamically-bounded page loop. The warp ballot/popc suffix rank
+is one MXU matmul against a constant suffix-sum matrix. Output bytes are
+packed 4-per-i32 with two MXU matmuls per 4 steps, yielding rows that are
+the natural little-endian byte stream.
 
 Everything stays int32: rANS states are < 2^31 (GpuANSUtils.cuh:41) so all
-arithmetic is sign-safe.
+arithmetic is sign-safe; shifts that need unsigned semantics use
+lax.shift_right_logical.
 """
 
 import functools
@@ -28,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from . import layout
 from .checksum import checksum_u8
 
 _I32 = jnp.int32
@@ -36,21 +46,26 @@ _U32 = jnp.uint32
 S = C.STEPS_PER_BLOCK  # 128 steps of 32 symbols per block
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560 u16 words
-MW2 = MW // 2  # 1280 packed i32
-PAGES = MW2 // 128  # 10
-CHUNK = 16  # steps per unrolled output chunk (16*32 = 512 bytes)
+ROWS_PER_BLOCK = MW // 256 + 1  # 11 x (128 u32) rows cover a misaligned stream
+CHUNK = 16  # steps per output chunk (16*32 = 512 bytes)
+GROUP = 4  # steps per window refill / output pack group
 
 
 def _taa(tab, idx):
     return jnp.take_along_axis(tab, idx, axis=1)
 
 
+def _srl(x, s):
+    return jax.lax.shift_right_logical(x, s)
+
+
+@functools.lru_cache(maxsize=None)
 def _pack_matrices():
     """(128,128) bf16 matrices turning 4 steps' symbols into packed u32 lanes.
 
     Input lane j = 32*d + w (sub-step d, rANS lane w) maps to output lane
-    Lg = 8*d + w//4, byte w%4 of the packed word. lo covers bytes 0/1,
-    hi covers bytes 2/3 (so each matmul result stays < 2^16, exact in f32).
+    8*d + w//4, byte w%4. lo covers bytes 0/1, hi bytes 2/3 (each result
+    < 2^16, exact in f32).
     """
     plo = np.zeros((128, 128), np.float32)
     phi = np.zeros((128, 128), np.float32)
@@ -67,30 +82,63 @@ def _pack_matrices():
                 phi[j, lg] = 1.0
             else:
                 phi[j, lg] = 256.0
-    return jnp.asarray(plo, jnp.bfloat16), jnp.asarray(phi, jnp.bfloat16)
+    return plo.astype(np.float32), phi.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _suffix_matrix():
+    """(128,128) bf16: rank[w] = sum_{w' >= w, w' < 32} read[w'] via MXU."""
+    m = np.zeros((128, 128), np.float32)
+    for j in range(32):
+        for l in range(j + 1):
+            m[j, l] = 1.0  # contribution of lane j to rank at lane l <= j
+    return m
 
 
 def _decode_kernel(
     prob_bits: int,
     T: int,
-    meta_ref,
-    states_ref,
-    streams_ref,
+    tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA start
+    lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
+    meta_ref,  # VMEM (T,128): lane0 steps, lane1 rem, lane2 cwords, lane3 off32
+    states_ref,  # VMEM (T,128)
     symtab_ref,
     pdfcdf_ref,
     plo_ref,
     phi_ref,
-    out_ref,
+    suf_ref,
+    arc_ref,  # ANY (XR,128) u32 archive rows
+    out_ref,  # VMEM (T, 8, 128)
+    tilebuf,  # scratch (RT,128) i32
+    streams,  # scratch (T, ROWS_PER_BLOCK, 128) i32
+    dma_sem,
 ):
     K = 1 << prob_bits
-    SR = max(K // 512, 1)  # symtab rows of 128 packed i32
+    SR = max(K // 512, 1)
+    RT = T * (MW // 256) + 24  # DMA row counts must be 8-aligned
 
+    i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(_I32, (T, 128), 1)
     zeros = jnp.zeros((T, 128), _I32)
+
+    # ---- tile-range DMA + per-block realign ----
+    dma = pltpu.make_async_copy(
+        arc_ref.at[pl.ds(tile_row0_ref[i], RT), :], tilebuf, dma_sem
+    )
+    dma.start()
+    dma.wait()
+
+    def realign(b, _):
+        streams[b] = tilebuf[pl.ds(lrow_ref[i * T + b], ROWS_PER_BLOCK), :]
+        return 0
+
+    jax.lax.fori_loop(0, T, realign, 0, unroll=False)
 
     meta = meta_ref[:]
     steps = _taa(meta, zeros)
     rem = _taa(meta, zeros + 1)
+    cwords = _taa(meta, zeros + 2)
+    off32 = _taa(meta, zeros + 3)
 
     symtab = [
         jnp.broadcast_to(symtab_ref[r : r + 1, :], (T, 128)) for r in range(SR)
@@ -100,68 +148,74 @@ def _decode_kernel(
     ]
     plo = plo_ref[:]
     phi = phi_ref[:]
+    suf = suf_ref[:]
 
-    def one_step(kk, state, consumed):
-        """One decode step (32 symbols/block). Returns (sym, state, consumed)."""
+    def one_step(kk, state, pos, win, base):
         is_tail = kk == steps - 1
         limit = jnp.where(is_tail & (rem > 0), rem, 32)
         act = (kk < steps) & (lane < limit)
 
         s_bar = state & (K - 1)
-        # two-level LUT: symbol by s_bar (u8 packed 4/i32), then pdf|cdf<<12
-        q = s_bar >> 2
+        q = _srl(s_bar, 2)
         g = _taa(symtab[0], q & 127)
         for r in range(1, SR):
-            g = jnp.where((q >> 7) == r, _taa(symtab[r], q & 127), g)
-        sym = (g >> ((s_bar & 3) << 3)) & 0xFF
+            g = jnp.where(_srl(q, 7) == r, _taa(symtab[r], q & 127), g)
+        sym = _srl(g, (s_bar & 3) << 3) & 0xFF
         pv = jnp.where(
-            sym < 128,
-            _taa(pdfcdf[0], sym & 127),
-            _taa(pdfcdf[1], sym & 127),
+            sym < 128, _taa(pdfcdf[0], sym & 127), _taa(pdfcdf[1], sym & 127)
         )
         pdf = pv & 0xFFF
-        cdf = (pv >> 12) & 0xFFF
+        cdf = _srl(pv, 12) & 0xFFF
 
-        ns = pdf * (state >> prob_bits) + (s_bar - cdf)
+        ns = pdf * _srl(state, prob_bits) + (s_bar - cdf)
         state1 = jnp.where(act, ns, state)
 
-        # stream reads: suffix-rank over lanes (ballot/popc analogue)
         read = act & (state1 < C.ANS_MIN_STATE)
-        r = read.astype(_I32)
-        for d in (1, 2, 4, 8, 16):
-            r = r + pltpu.roll(r, 128 - d, 1)
-        cnt = _taa(r, zeros)  # lane 0 = total readers, broadcast
+        rank = (
+            jax.lax.dot_general(
+                read.astype(jnp.bfloat16), suf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(_I32)
+        cnt = _taa(rank, zeros)  # lane 0 = total readers
 
-        rj = consumed + r - 1  # reversed-stream word index per reader
-        u = rj >> 1
-        pg = u >> 7
-        li = u & 127
-        lop = jnp.min(consumed) >> 8
-        hip = jnp.minimum((jnp.max(consumed) + 31) >> 8, PAGES - 1)
-
-        def page_body(p, acc):
-            slab = streams_ref[:, p, :]
-            return jnp.where(read & (pg == p), _taa(slab, li), acc)
-
-        gv = jax.lax.fori_loop(lop, hip + 1, page_body, zeros)
-        v16 = (gv >> ((rj & 1) << 4)) & 0xFFFF
+        rj = pos - rank  # u16-word index of each reader (backwards stream)
+        widx = off32 + _srl(rj, 1) - base
+        v32 = _taa(win, widx & 127)
+        v16 = _srl(v32, (rj & 1) << 4) & 0xFFFF
 
         state2 = jnp.where(read, (state1 << 16) | v16, state1)
-        consumed = consumed + cnt
-        return jnp.where(act, sym, 0), state2, consumed
+        pos = pos - cnt
+        return jnp.where(act, sym, 0), state2, pos
+
+    def refill(pos, _win, _base):
+        """256-u16-word register window covering the next 4 steps' reads."""
+        hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
+        base = jnp.maximum(hi - 127, 0)
+        g0 = base + lane
+        pg = _srl(g0, 7)
+        li = g0 & 127
+        lop = jnp.min(base) >> 7
+        hip = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
+
+        def page_body(p, acc):
+            return jnp.where(pg == p, _taa(streams[:, p, :], li), acc)
+
+        win = jax.lax.fori_loop(lop, hip + 1, page_body, zeros)
+        return win, base
 
     def chunk_body(c, carry):
-        state, consumed = carry
+        state, pos = carry
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
-        base = cc * CHUNK
         chunk_acc = zeros
-        for g in range(CHUNK // 4 - 1, -1, -1):
-            syms = [None] * 4
-            for d in range(3, -1, -1):
-                kk = base + 4 * g + d
-                syms[d], state, consumed = one_step(kk, state, consumed)
+        for g in range(CHUNK // GROUP - 1, -1, -1):
+            win, base = refill(pos, None, None)
+            syms = [None] * GROUP
+            for d in range(GROUP - 1, -1, -1):
+                kk = cc * CHUNK + 4 * g + d
+                syms[d], state, pos = one_step(kk, state, pos, win, base)
             combined = syms[0]
-            for d in range(1, 4):
+            for d in range(1, GROUP):
                 combined = combined | pltpu.roll(syms[d], 32 * d, 1)
             cb = combined.astype(jnp.bfloat16)
             lo = jax.lax.dot_general(
@@ -172,58 +226,57 @@ def _decode_kernel(
                 cb, phi, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(_I32)
-            packed = lo | (hi << 16)  # packed u32s in lanes 0..31
+            packed = lo | (hi << 16)  # 32 packed u32s in lanes 0..31
             placed = pltpu.roll(packed, 32 * g, 1)
-            chunk_acc = jnp.where((lane >> 5) == g, placed, chunk_acc)
+            chunk_acc = jnp.where(_srl(lane, 5) == g, placed, chunk_acc)
         out_ref[:, cc, :] = chunk_acc
-        return state, consumed
+        return state, pos
 
-    state0 = states_ref[:]
     jax.lax.fori_loop(
-        0, S // CHUNK, chunk_body, (state0, jnp.zeros((T, 128), _I32))
+        0, S // CHUNK, chunk_body, (states_ref[:], cwords)
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _build_decode_call(NBp: int, prob_bits: int, T: int):
+def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     grid = NBp // T
+    RT = T * (MW // 256) + 24
 
     kernel = functools.partial(_decode_kernel, prob_bits, T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, S // CHUNK, 128), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((RT, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((NBp, S // CHUNK, 128), _I32),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (T, PAGES, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((SR, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (T, S // CHUNK, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        grid_spec=grid_spec,
     )
 
 
-def _u16_from_arc32(arc32, widx):
-    """Fetch u16 stream words (by u16-word index) from the u32 archive view."""
-    w = jnp.take(arc32, jnp.clip(widx >> 1, 0, arc32.shape[0] - 1))
-    return (w >> ((widx.astype(_U32) & 1) << 4)) & _U32(0xFFFF)
-
-
 def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
-    """XLA prologue: packed symbol LUT + (pdf | cdf<<12) table.
-
-    Returns (symtab (SR,128) i32 — four u8 symbols per i32 —
-    and pdfcdf (2,128) i32).
-    """
+    """XLA prologue: packed symbol LUT + (pdf | cdf<<12) table."""
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     incl = jnp.cumsum(pdf.astype(_U32))
@@ -251,25 +304,23 @@ def ans_decode_padded_pallas(
     out_max: int,
     verify_checksum: bool = False,
     block_tile: int = 256,
+    return_u32: bool = False,
 ):
     """Pallas-backed drop-in for ans_decode_padded (same contract).
 
-    XLA prologue parses the header, builds tables, and stages each block's
-    u16 stream reversed and packed 2-per-i32 (affine gathers, HBM-speed);
-    the Pallas kernel runs the sequential decode; the XLA epilogue restores
-    natural byte order and applies the masks.
+    With return_u32=True, `out` is the decoded byte stream packed
+    little-endian 4 bytes per u32 (shape (out_max//4,)) — the layout the
+    float codec consumes directly.
     """
     assert archive.dtype == jnp.uint8
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     NB = out_max // C.DEFAULT_BLOCK_SIZE
     T = min(block_tile, max(8, NB))
-    # tile must divide the padded block count and stay sublane-friendly
     while T % 8 != 0:
         T += 1
     NBp = C.round_up(NB, T)
 
-    b = archive.reshape(-1, 4).astype(_U32)
-    arc32 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    arc32 = layout.u8_to_u32le(archive)
     A32 = arc32.shape[0]
 
     h = arc32[:8]
@@ -289,9 +340,7 @@ def ans_decode_padded_pallas(
     pdf = pdf.at[0::2].set(pw & _U32(0xFFFF)).at[1::2].set(pw >> _U32(16))
     symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
 
-    # per-block metadata
     bidx = jnp.arange(NBp, dtype=_I32)
-    st_idx = jnp.clip(136 + bidx * W, 0, A32 - 1)
     live = bidx < nb_eff
     bw_start = 136 + nb_eff * W
     bw_x = jnp.where(
@@ -306,13 +355,29 @@ def ans_decode_padded_pallas(
     cwords = (bw_x & _U32(0xFFFF)).astype(_I32)
     starts = bw_y.astype(_I32)
     rnb2 = nb_eff + (nb_eff & 1)
-    data_start_w = (bw_start + rnb2 * 2) * 2  # u16-word offset of payload
+    ds32 = bw_start + rnb2 * 2  # u32 offset of the payload
 
     steps = (uncomp + W - 1) // W
     remainder = uncomp % W
-    meta = jnp.zeros((NBp, 128), _I32)
-    meta = meta.at[:, 0].set(steps).at[:, 1].set(remainder)
 
+    # per-block payload geometry (u32 rows of 128)
+    s32 = ds32 + (starts >> 1)  # first u32 of the block's stream
+    row0 = s32 >> 7  # s32 is non-negative i32, arithmetic shift is fine
+    off32 = s32 & 127
+
+    meta = jnp.zeros((NBp, 128), _I32)
+    meta = (
+        meta.at[:, 0]
+        .set(steps)
+        .at[:, 1]
+        .set(remainder)
+        .at[:, 2]
+        .set(cwords)
+        .at[:, 3]
+        .set(off32)
+    )
+
+    st_idx = jnp.clip(136 + bidx * W, 0, A32 - 1)
     states = jnp.take(
         arc32, jnp.clip(st_idx[:, None] + jnp.arange(W)[None, :], 0, A32 - 1)
     )
@@ -320,27 +385,42 @@ def ans_decode_padded_pallas(
     states128 = jnp.zeros((NBp, 128), _I32)
     states128 = states128.at[:, :W].set(states.astype(_I32))
 
-    # reversed packed stream staging: rword(j) = stream[cwords-1-j]
-    i_idx = jnp.arange(MW2, dtype=_I32)[None, :]
-    base = (data_start_w + starts + cwords - 1)[:, None]
-    w0 = _u16_from_arc32(arc32, jnp.maximum(base - 2 * i_idx, 0))
-    w1 = _u16_from_arc32(arc32, jnp.maximum(base - 2 * i_idx - 1, 0))
-    rstreams = (w0 | (w1 << 16)).astype(_I32).reshape(NBp, PAGES, 128)
+    # tile geometry + archive padding for the tile-range DMA
+    RT = T * (MW // 256) + 24
+    ntiles = NBp // T
+    tile_row0 = row0[0::T] & ~7  # 8-row-aligned DMA sources
+    lrow = jnp.clip(row0 - jnp.repeat(tile_row0, T), 0, RT - ROWS_PER_BLOCK)
+    need_rows = int(C.div_up(A32, 128)) + RT + 1
+    arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
+    arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
+    tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
 
-    plo, phi = _pack_matrices()
-    call = _build_decode_call(NBp, prob_bits, T)
-    out32 = call(meta, states128, rstreams, symtab, pdfcdf, plo, phi)
+    plo_np, phi_np = _pack_matrices()
+    plo = jnp.asarray(plo_np, jnp.bfloat16)
+    phi = jnp.asarray(phi_np, jnp.bfloat16)
+    suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
+    call = _build_decode_call(NBp, prob_bits, T, need_rows)
+    out32 = call(
+        tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi, suf,
+        arc_rows,
+    )
 
-    out = jax.lax.bitcast_convert_type(
-        out32.reshape(NBp, S * W // 4), jnp.uint8
-    ).reshape(NBp * S * W)[:out_max]
-
+    out32 = out32.reshape(NBp * S * W // 4)[: out_max // 4].astype(_U32)
     result = {
-        "out": out,
         "size": n.astype(_U32),
         "success": success,
         "checksum_ok": jnp.bool_(True),
     }
+    if return_u32:
+        result["out"] = out32
+        if verify_checksum:
+            out = layout.u32_to_u8le(out32)
+            actual = checksum_u8(out, n)
+            result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+        return result
+
+    out = layout.u32_to_u8le(out32)
+    result["out"] = out
     if verify_checksum:
         actual = checksum_u8(out, n)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)

@@ -1,33 +1,40 @@
-"""Pallas TPU rANS encoder — the hot encode loop as a Mosaic kernel.
+"""Pallas TPU rANS encoder — hot encode loop + archive assembly as kernels.
 
-TPU-native redesign of the reference encode kernel
-(GpuANSEncode.cuh:49-211): one block per sublane row, 32 interleaved rANS
-states in lanes 0..31. Per step: symbol table lookups ((pdf|cdf<<12|shift<<24)
-and magic, 256 entries each = two lane-gathers + select), the renormalization
-ballot/popc stream compaction (GpuANSEncode.cuh:68-74) as an inclusive
-lane-prefix-sum via 5 static rolls, and magic-number division
-(__umulhi, GpuANSEncode.cuh:79-86) via 16-bit limb products with logical
-shifts (all values stay bit-correct in i32 two's-complement).
+TPU-native redesign of the reference encode pipeline
+(GpuANSEncode.cuh:49-211, 595-672): one block per sublane row, 32 interleaved
+rANS states in lanes 0..31.
 
-Emitted u16 words append into a 128-lane register window per block (plus a
-spill window for boundary straddles); the inverse write permutation is a
-5-step binary search over the prefix sums. Full windows flush to a paged
-VMEM staging buffer selected by a dynamically-bounded page loop (all blocks
-start at position 0, so the page spread across a tile stays small). The
-kernel outputs dense per-block streams + word counts + final states; the XLA
-epilogue (shared with the XLA encoder) coalesces them into the archive at
-HBM speed.
+Encode kernel, per step: symbol table lookups ((pdf|cdf<<12|shift<<24) and
+magic, 256 entries each = two lane-wise `tpu.dynamic_gather`s + select), the
+renormalization ballot/popc stream compaction (GpuANSEncode.cuh:68-74) as an
+inclusive lane-prefix-sum via one MXU matmul against a constant triangular
+matrix, and magic-number division (__umulhi, GpuANSEncode.cuh:79-86) via
+16-bit limb products with logical shifts (bit-correct in i32
+two's-complement). Emitted u16 words append into a 128-lane register window
+(plus a spill window for straddles) — the inverse write permutation is a
+5-step binary search over the prefix sums — and full windows flush to a
+paged VMEM staging buffer through a dynamically-bounded page loop.
+
+Assembly kernel (the analogue of ansEncodeCoalesceBatch,
+GpuANSEncode.cuh:595-672): packs each block's zero-extended staged words
+into u16-pair u32s, rotates them to the block's 16-byte-aligned archive
+offset, OR-merges into a tile row buffer, and DMAs the tile's contiguous
+payload row range into the section-prefilled archive (aliased in/out).
+Grid steps run in order; the shared boundary row between consecutive tiles
+rides a persistent spill scratch. XLA gathers never touch the payload (they
+run ~1000x too slow on TPU for this).
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from . import encode as enc_mod
+from . import layout
 from . import stats
 from .checksum import checksum_u8
 
@@ -37,8 +44,8 @@ _U32 = jnp.uint32
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
-PAGES = MW // 128  # 20 pages of 128 u16 words (held zero-extended in i32)
-CHUNK = 16  # steps per input chunk (16*32 = 512 bytes = 128 packed i32)
+PAGES = MW // 128  # 20 pages of 128 u16 words (zero-extended in i32)
+CHUNK = 16  # steps per input chunk (512 bytes = 128 packed i32)
 
 
 def _taa(tab, idx):
@@ -63,6 +70,16 @@ def _umulhi_i32(a, b):
     return ah * bh + _srl(m1, 16) + _srl(m2, 16) + _srl(t, 16)
 
 
+@functools.lru_cache(maxsize=None)
+def _prefix_matrix():
+    """(128,128) bf16: incl_prefix[l] = sum_{j <= l, j < 32} write[j] via MXU."""
+    m = np.zeros((128, 128), np.float32)
+    for j in range(32):
+        for l in range(j, 32):
+            m[j, l] = 1.0
+    return m
+
+
 def _encode_kernel(
     prob_bits: int,
     T: int,
@@ -70,6 +87,7 @@ def _encode_kernel(
     data_ref,
     pcs_ref,
     magic_ref,
+    pre_ref,
     words_ref,
     counts_ref,
     states_ref,
@@ -85,6 +103,7 @@ def _encode_kernel(
     magic = [
         jnp.broadcast_to(magic_ref[r : r + 1, :], (T, 128)) for r in range(2)
     ]
+    pre = pre_ref[:]
 
     # zero-init the staging pages (flush does read-modify-write)
     for p in range(PAGES):
@@ -96,9 +115,7 @@ def _encode_kernel(
         limit = jnp.where(is_tail & (rem > 0), rem, 32)
         act = (kk < steps) & (lane < limit)
 
-        sym = (
-            _srl(_taa(d32, 8 * l + _srl(lane, 2)), (lane & 3) << 3) & 0xFF
-        )
+        sym = _srl(_taa(d32, 8 * l + _srl(lane, 2)), (lane & 3) << 3) & 0xFF
         pv = jnp.where(
             sym < 128, _taa(pcs[0], sym & 127), _taa(pcs[1], sym & 127)
         )
@@ -118,10 +135,11 @@ def _encode_kernel(
         mod = state1 - div * pdf
         state2 = jnp.where(act, (div << prob_bits) + mod + cdf, state1)
 
-        # inclusive prefix over lanes (ballot/popc with laneMaskLt analogue)
-        r = write.astype(_I32)
-        for d in (1, 2, 4, 8, 16):
-            r = r + pltpu.roll(r, d, 1)
+        # inclusive prefix over lanes (ballot/popc, laneMaskLt analogue)
+        r = jax.lax.dot_general(
+            write.astype(jnp.bfloat16), pre, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_I32)
         cnt = _taa(r, zeros + 31)  # lane 31 = total writers, broadcast
 
         # append: window slot j receives the (j - fill mod 128)-th writer
@@ -215,6 +233,7 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int):
             ),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -223,6 +242,93 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int):
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
+    )
+
+
+def _assembly_kernel(
+    T: int,
+    trow_ref,  # SMEM (ntiles,) tile's first payload row, relative to region
+    srow_ref,  # SMEM (ntiles,) local index of the rows shared with next tile
+    dloc_ref,  # SMEM (NBp,) block's dst row local to its tile
+    drot_ref,  # SMEM (NBp,) block's u32-lane rotation (multiple of 4)
+    staged_ref,  # VMEM (T, PAGES, 128) zero-extended words
+    seed_ref,  # VMEM (8,128): payload-region head (archive section bytes)
+    pay_ref,  # ANY (PR,128) payload-region rows output
+    tilebuf,  # scratch (RTE,128)
+    spill,  # scratch (8,128) persistent across grid steps
+    dma_sem,
+):
+    RTE = T * (PAGES // 2) + 24
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(_I32, (10, 128), 1)
+
+    tilebuf[:] = jnp.zeros((RTE, 128), _I32)
+
+    @pl.when(i == 0)
+    def _():
+        spill[:] = seed_ref[:]
+
+    tilebuf[0:8, :] = spill[:]  # rows shared with the previous tile
+
+    def block_body(b, _):
+        slab = staged_ref[b]  # (PAGES, 128) words, zero-extended
+        pairs = slab.reshape(PAGES // 2, 2, 128)
+        even = pairs[:, 0, :]  # (10,128) pages 0,2,..
+        odd = pairs[:, 1, :]
+        il = (2 * lane) & 127
+        lo_sel = lane < 64
+        w0 = jnp.where(lo_sel, _taa(even, il), _taa(odd, il))
+        w1 = jnp.where(lo_sel, _taa(even, il + 1), _taa(odd, il + 1))
+        packed = w0 | (w1 << 16)  # (10,128) u16-pair u32s
+
+        rot = drot_ref[i * T + b]
+        rolled = pltpu.roll(packed, rot, 1)
+        mge = lane >= rot
+        dloc = dloc_ref[i * T + b]
+        cur = tilebuf[pl.ds(dloc, 10), :]
+        tilebuf[pl.ds(dloc, 10), :] = cur | jnp.where(mge, rolled, 0)
+        cur2 = tilebuf[pl.ds(dloc + 1, 10), :]
+        tilebuf[pl.ds(dloc + 1, 10), :] = cur2 | jnp.where(mge, 0, rolled)
+        return 0
+
+    jax.lax.fori_loop(0, T, block_body, 0, unroll=False)
+
+    spill[:] = tilebuf[pl.ds(srow_ref[i], 8), :]
+
+    dma = pltpu.make_async_copy(
+        tilebuf, pay_ref.at[pl.ds(trow_ref[i], RTE), :], dma_sem
+    )
+    dma.start()
+    dma.wait()  # ordered: next tile's DMA must not race this one
+
+
+@functools.lru_cache(maxsize=None)
+def _build_assembly_call(NBp: int, T: int, PR: int):
+    grid = NBp // T
+    RTE = T * (PAGES // 2) + 24
+    kernel = functools.partial(_assembly_kernel, T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (T, PAGES, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((RTE, 128), _I32),
+            pltpu.VMEM((8, 128), _I32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((PR, 128), _I32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
 
@@ -235,39 +341,15 @@ def build_encode_tables(pdf: jnp.ndarray):
     return pcs.astype(_I32).reshape(2, 128), magic.astype(_I32).reshape(2, 128)
 
 
-def ans_encode_padded_pallas(
-    data: jnp.ndarray,
-    length,
-    prob_bits: int = C.DEFAULT_PROB_BITS,
-    use_checksum: bool = False,
-    precomputed_histogram=None,
-    precomputed_pdf=None,
-    block_tile: int = 256,
+def _encode_stage1(
+    data32, length, pdf, L: int, NBp: int, T: int, prob_bits: int,
+    use_checksum: bool,
 ):
-    """Pallas-backed drop-in for ans_encode_padded (same contract)."""
-    assert prob_bits in C.SUPPORTED_PROB_BITS
-    assert data.dtype == jnp.uint8
-    L = data.shape[0]
+    """Traced stage 1: tables + the encode kernel. Returns per-block results."""
     NB = L // C.DEFAULT_BLOCK_SIZE
-    length = jnp.asarray(length, _I32)
     nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
-
-    if precomputed_pdf is not None:
-        pdf = precomputed_pdf.astype(_U32)
-    else:
-        hist = (
-            precomputed_histogram
-            if precomputed_histogram is not None
-            else stats.histogram_u8(data, length)
-        )
-        pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
-
-    T = min(block_tile, max(8, NB))
-    while T % 8 != 0:
-        T += 1
-    NBp = C.round_up(NB, T)
-
     pcs, magic = build_encode_tables(pdf)
+    pre = jnp.asarray(_prefix_matrix(), jnp.bfloat16)
 
     bidx = jnp.arange(NBp, dtype=_I32)
     tail = length - (nb - 1) * C.DEFAULT_BLOCK_SIZE
@@ -278,24 +360,223 @@ def ans_encode_padded_pallas(
     meta = jnp.zeros((NBp, 128), _I32)
     meta = meta.at[:, 0].set(steps).at[:, 1].set(remainder)
 
-    data32 = jax.lax.bitcast_convert_type(
-        data.reshape(NB * S * W // 4, 4), _U32
-    ).astype(_I32)
+    d32 = data32
     if NBp > NB:
-        data32 = jnp.concatenate(
-            [data32, jnp.zeros((NBp - NB) * S * W // 4, _I32)]
-        )
-    data32 = data32.reshape(NBp, S // CHUNK, 128)
+        d32 = jnp.concatenate([d32, jnp.zeros((NBp - NB) * S * W // 4, _I32)])
+    d32 = d32.reshape(NBp, S // CHUNK, 128)
 
     call = _build_encode_call(NBp, prob_bits, T)
-    staged, counts, states_out = call(meta, data32, pcs, magic)
+    staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
-    words = counts[:NB, 0]
-    states = states_out[:NB, :W].astype(_U32)
-    compacted = staged[:NB].reshape(NB, MW).astype(_U32)
+    checksum = _U32(0)
+    if use_checksum:
+        data_u8 = layout.u32_to_u8le(data32.astype(_U32))
+        checksum = checksum_u8(data_u8, length)
+    return staged, counts, states_out, uncomp, checksum
 
-    checksum = checksum_u8(data, length) if use_checksum else _U32(0)
-    return enc_mod.assemble_archive(
-        L, pdf, states, words, compacted, length, nb, prob_bits, use_checksum,
-        checksum=checksum,
+
+def _encode_stage2(
+    staged, counts, states_out, uncomp, checksum, pdf, length,
+    L: int, NBp: int, T: int, prob_bits: int, use_checksum: bool,
+    block_tile: int,
+):
+    """Traced stage 2: section prefill + payload assembly kernel."""
+    nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
+    bidx = jnp.arange(NBp, dtype=_I32)
+    words = jnp.where(bidx < nb, counts[:, 0], 0)
+    # dead padding blocks carry the initial rANS state (2^15); zero them so
+    # the states DUS (static NBp*32 size) writes zeros past the live section
+    states = jnp.where(
+        (bidx < nb)[:, None], states_out[:, :W].astype(_U32), _U32(0)
     )
+
+    words_padded = C.round_up(words, C.WORDS_PER_ALIGN)
+    prefix = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(words_padded)])
+    total_words = prefix[NBp]
+    options = _U32(prob_bits | (int(use_checksum) << 4))
+
+    bw_start = 136 + nb * W
+    rnb2 = nb + (nb & 1)
+    ds32 = bw_start + rnb2 * 2
+
+    A = archive_buffer_bytes_pallas(L, block_tile)
+    XR = A // 512
+    arc = jnp.zeros(XR * 128, _U32)
+    header = jnp.array(
+        [(C.ANS_MAGIC << 16) | C.ANS_VERSION, 0, 0, 0, 0, 0, 0, 0], _U32
+    )
+    header = header.at[1].set(nb.astype(_U32))
+    header = header.at[2].set(length.astype(_U32))
+    header = header.at[3].set(total_words.astype(_U32))
+    header = header.at[4].set(options)
+    header = header.at[5].set(checksum)
+    arc = jax.lax.dynamic_update_slice(arc, header, (0,))
+    probs32 = pdf[0::2] | (pdf[1::2] << _U32(16))
+    arc = jax.lax.dynamic_update_slice(arc, probs32, (8,))
+    arc = jax.lax.dynamic_update_slice(arc, states.reshape(-1), (136,))
+    live = bidx < nb
+    bw_x = jnp.where(
+        live, (uncomp.astype(_U32) << 16) | words.astype(_U32), _U32(0)
+    )
+    bw_y = jnp.where(live, prefix[:NBp].astype(_U32), _U32(0))
+    bw = jnp.zeros((NBp + 2, 2), _U32)
+    bw = bw.at[:NBp, 0].set(bw_x).at[:NBp, 1].set(bw_y)
+    arc = jax.lax.dynamic_update_slice(
+        arc, bw.reshape(-1), (bw_start.astype(_I32),)
+    )
+
+    # ---- payload via the assembly kernel ----
+    p32 = ds32 + (prefix[:NBp] >> 1)
+    prow0 = (ds32 >> 7) & ~7
+    trow = ((p32[0::T] >> 7) & ~7) - prow0
+    trow_next = jnp.concatenate(
+        [
+            trow[1:],
+            jnp.full(1, (((ds32 + total_words // 2) >> 7) & ~7) - prow0, _I32),
+        ]
+    )
+    RTE = T * (PAGES // 2) + 24
+    PR = NBp * (PAGES // 2) + 32
+    srow = jnp.clip(trow_next - trow, 0, RTE - 8)
+    dloc = jnp.clip(p32 // 128 - prow0 - jnp.repeat(trow, T), 0, RTE - 16)
+    drot = p32 & 127
+    trow = jnp.clip(trow, 0, PR - RTE)
+    seed = jax.lax.dynamic_slice(
+        arc.reshape(XR, 128).astype(_I32), (prow0, 0), (8, 128)
+    )
+
+    size = ((ds32 + total_words // 2) * 4).astype(_U32)
+    return arc, trow, srow, dloc, drot, seed, prow0, size
+
+
+@functools.lru_cache(maxsize=None)
+def _stage0_jit(L, prob_bits):
+    def run(data32, length):
+        data_u8 = layout.u32_to_u8le(data32.astype(_U32))
+        hist = stats.histogram_u8(data_u8, length)
+        return stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _normalize_jit(prob_bits):
+    def run(hist, length):
+        return stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage1_jit(L, NBp, T, prob_bits, use_checksum):
+    return jax.jit(
+        functools.partial(
+            _encode_stage1, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
+            use_checksum=use_checksum,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _stage2_jit(L, NBp, T, prob_bits, use_checksum, block_tile):
+    return jax.jit(
+        functools.partial(
+            _encode_stage2, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
+            use_checksum=use_checksum, block_tile=block_tile,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _stage3_jit(XR, return_u32):
+    def run(arc, pay_rows, prow0):
+        arc_rows = jax.lax.dynamic_update_slice(
+            arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
+        )
+        arc32 = arc_rows.reshape(-1).astype(_U32)
+        if return_u32:
+            return arc32
+        return layout.u32_to_u8le(arc32)
+
+    return jax.jit(run)
+
+
+def ans_encode_padded_pallas(
+    data: jnp.ndarray,
+    length,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    use_checksum: bool = False,
+    precomputed_histogram=None,
+    precomputed_pdf=None,
+    block_tile: int = 256,
+    return_u32: bool = False,
+):
+    """Pallas-backed drop-in for ans_encode_padded (same archive contract).
+
+    Host-level two-stage pipeline (encode kernel, then assembly kernel),
+    each stage its own jitted program: combining both Mosaic kernels in one
+    XLA program miscompiles on current libtpu (payload words sporadically
+    gain bit 15), so this function must be called OUTSIDE jit. The traced
+    XLA path (ans/encode.py) remains the composable fallback.
+
+    `data` may be (L,) u8 or the same bytes packed little-endian as (L//4,)
+    u32 (the layout the float split kernel produces). With return_u32=True
+    the archive is returned as (A//4,) u32.
+    """
+    assert prob_bits in C.SUPPORTED_PROB_BITS
+    if isinstance(data, jax.core.Tracer):
+        raise TypeError(
+            "ans_encode_padded_pallas is a host-level pipeline; use the XLA "
+            "backend inside jit/vmap/shard_map"
+        )
+    if data.dtype == jnp.uint8:
+        L = data.shape[0]
+        data32 = jax.jit(lambda d: layout.u8_to_u32le(d).astype(_I32))(data)
+    else:
+        assert data.dtype in (_U32, _I32)
+        L = data.shape[0] * 4
+        data32 = data.astype(_I32)
+    NB = L // C.DEFAULT_BLOCK_SIZE
+    assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
+    length = jnp.asarray(length, _I32)
+
+    if precomputed_pdf is not None:
+        pdf = jnp.asarray(precomputed_pdf).astype(_U32)
+    elif precomputed_histogram is not None:
+        pdf = _normalize_jit(prob_bits)(precomputed_histogram, length)
+    else:
+        pdf = _stage0_jit(L, prob_bits)(data32, length)
+
+    T = min(block_tile, max(8, NB))
+    while T % 8 != 0:
+        T += 1
+    NBp = C.round_up(NB, T)
+
+    s1 = _stage1_jit(L, NBp, T, prob_bits, bool(use_checksum))
+    staged, counts, states_out, uncomp, checksum = s1(data32, length, pdf)
+    s2 = _stage2_jit(L, NBp, T, prob_bits, bool(use_checksum), block_tile)
+    arc, trow, srow, dloc, drot, seed, prow0, size = s2(
+        staged, counts, states_out, uncomp, checksum, pdf, length
+    )
+    PR = NBp * (PAGES // 2) + 32
+    asm = _build_assembly_call(NBp, T, PR)
+    pay_rows = asm(trow, srow, dloc, drot, staged, seed)
+    XR = archive_buffer_bytes_pallas(L, block_tile) // 512
+    arc32 = _stage3_jit(XR, bool(return_u32))(arc, pay_rows, prow0)
+    return arc32, size
+
+
+def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
+    """Static archive buffer size (512-byte rows, with tile-DMA slack).
+
+    Sized so the payload-region DUS (NBp * 10 + 24 rows at the 8-aligned
+    region start) always fits, including tile padding beyond the real block
+    count.
+    """
+    NB = padded_len // C.DEFAULT_BLOCK_SIZE
+    T = min(block_tile, max(8, NB))
+    while T % 8 != 0:
+        T += 1
+    NBp = C.round_up(NB, T)
+    sect_rows = C.div_up(136 + NBp * 34 + 4, 128)
+    return 512 * (sect_rows + NBp * (PAGES // 2) + 64)

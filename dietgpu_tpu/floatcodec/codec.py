@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from .. import backend as backend_mod
 from .. import constants as C
 from ..ans import encode as ans_encode_mod
+from ..ans import layout
 from ..ans import stats
 from ..ans.checksum import checksum_u8
 from .split import join_words, split_words
@@ -23,8 +24,16 @@ _I32 = jnp.int32
 
 
 def _words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
-    """Little-endian byte view of a u16/u32 array."""
-    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
+    """Little-endian byte view of a u16/u32 array (TPU-layout-safe)."""
+    if words.dtype == jnp.uint32:
+        return layout.u32_to_u8le(words)
+    assert words.dtype == jnp.uint16
+    n = words.shape[0]
+    pad = (-n) % 2
+    if pad:
+        words = jnp.concatenate([words, jnp.zeros(1, jnp.uint16)])
+    w32 = words[0::2].astype(_U32) | (words[1::2].astype(_U32) << 16)
+    return layout.u32_to_u8le(w32)[: 2 * n]
 
 
 def float_archive_buffer_bytes(float_type: int, padded_words: int) -> int:
@@ -159,8 +168,9 @@ def float_decompress_padded(
     valid = jnp.arange(Lw, dtype=_I32) < n_eff
     if float_type == C.FLOAT_TYPE_FLOAT32:
         lo_b = jax.lax.dynamic_slice(arc_padded, (16,), (2 * Lw,))
-        lo_pairs = lo_b.reshape(Lw, 2).astype(jnp.uint16)
-        lo = lo_pairs[:, 0] | (lo_pairs[:, 1] << jnp.uint16(8))
+        lo = lo_b[0::2].astype(jnp.uint16) | (
+            lo_b[1::2].astype(jnp.uint16) << jnp.uint16(8)
+        )
         hi_off = 16 + 2 * C.round_up(n_eff, 8)
         hi = jax.lax.dynamic_slice(arc_padded, (hi_off,), (Lw,))
         words = join_words(comp, (lo, hi), float_type)
