@@ -1,4 +1,4 @@
-"""Benchmark: bf16 float-codec throughput on one chip.
+"""Benchmark: bf16 float-codec throughput on one chip (Pallas pipeline).
 
 Prints ONE JSON line:
   {"metric": "bf16_float_decode_GBps", "value": N, "unit": "GB/s",
@@ -7,8 +7,12 @@ Prints ONE JSON line:
 Baseline: DietGPU bf16 float-codec decompression ~490 GB/s at ~128M floats
 on an A100 (BASELINE.md, images/dietgpu_bfloat16_nb.png).
 
-Env knobs: DIETGPU_BENCH_MWORDS (default 32), DIETGPU_BENCH_RUNS (default 3),
-DIETGPU_BENCH_BACKEND (pass 'cpu' to bench the CPU backend).
+Timing is honest for async/tunneled backends: K distinct inputs are cycled
+through a dependency-ordered loop and a host readback closes the chain, so
+neither dispatch-only returns nor backend result caching can fake speed.
+
+Env knobs: DIETGPU_BENCH_MWORDS (default 64), DIETGPU_BENCH_ITERS (default 6),
+DIETGPU_BENCH_BACKEND ('cpu' benches the XLA path on CPU).
 """
 
 import json
@@ -34,66 +38,85 @@ def main():
     import jax.numpy as jnp
 
     from dietgpu_tpu import constants as C
-    from dietgpu_tpu.floatcodec import codec as fcodec
 
-    mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "32"))
-    runs = int(os.environ.get("DIETGPU_BENCH_RUNS", "3"))
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "64"))
+    iters = int(os.environ.get("DIETGPU_BENCH_ITERS", "6"))
     n = mwords * 1024 * 1024
     Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
     ft = C.FLOAT_TYPE_BFLOAT16
     raw_bytes = n * 2
+    K = 3
 
     dev = jax.devices()[0]
-    print(f"# device: {dev.device_kind}, n = {n} bf16 words "
-          f"({raw_bytes / 1e6:.0f} MB)", file=sys.stderr)
-
-    # N(0,1) bf16 data as raw u16 words, generated on device
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (Lw,), dtype=jnp.float32).astype(jnp.bfloat16)
-    words = jax.jit(
-        lambda v: jax.lax.bitcast_convert_type(v, jnp.uint16)
-    )(x)
-    words.block_until_ready()
-
-    compress = jax.jit(
-        lambda w: fcodec.float_compress_padded(w, n, ft, 10, False)
-    )
-    F = fcodec.float_archive_buffer_bytes(ft, Lw)
-    decompress = jax.jit(
-        lambda a: fcodec.float_decompress_padded(a, ft, Lw, 10, False)
+    print(
+        f"# device: {dev.device_kind}, n = {n} bf16 words "
+        f"({raw_bytes / 1e6:.0f} MB), backend={'pallas' if use_pallas else 'xla'}",
+        file=sys.stderr,
     )
 
-    t0 = time.time()
-    arc, size = compress(words)
-    arc.block_until_ready()
-    print(f"# compress compile+run {time.time() - t0:.1f}s", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    words_list = []
+    for k in range(K):
+        x = rng.standard_normal(Lw).astype(np.float32)
+        w = (x.view(np.uint32) >> 16).astype(np.uint16)
+        w[n:] = 0
+        words_list.append(jnp.asarray(w))
 
-    t0 = time.time()
-    res = decompress(arc)
-    res["out"].block_until_ready()
-    print(f"# decompress compile+run {time.time() - t0:.1f}s", file=sys.stderr)
+    if use_pallas:
+        from dietgpu_tpu.floatcodec import pallas_codec as pfc
 
-    # validate roundtrip before timing (benchmark.py:83-84 parity)
-    assert bool(res["success"])
-    ok = jax.jit(lambda a, b: jnp.array_equal(a[:n], b[:n]))(res["out"], words)
-    assert bool(ok), "roundtrip mismatch"
+        compress = jax.jit(
+            lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
+        )
+        decompress = jax.jit(
+            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False)
+        )
+        out_key = "out32"
+    else:
+        from dietgpu_tpu.floatcodec import codec as fcodec
+
+        compress = jax.jit(
+            lambda w: fcodec.float_compress_padded(w, n, ft, 10, False)
+        )
+        decompress = jax.jit(
+            lambda a: fcodec.float_decompress_padded(a, ft, Lw, 10, False)
+        )
+        out_key = "out"
+
+    # warm + validate roundtrip on every input (benchmark.py:83-84 parity)
+    arcs = []
+    t0 = time.time()
+    for k in range(K):
+        arc, size = compress(words_list[k])
+        arcs.append(arc)
+        r = decompress(arc)
+        assert bool(r["success"]), "decode reported failure"
+        w = np.asarray(words_list[k])
+        if out_key == "out32":
+            pairs = np.asarray(r["out32"])
+            got = np.zeros(Lw, np.uint16)
+            got[0::2] = pairs & 0xFFFF
+            got[1::2] = pairs >> 16
+        else:
+            got = np.asarray(r["out"])
+        assert np.array_equal(got[:n], w[:n]), f"roundtrip mismatch input {k}"
     comp_size = int(size)
     ratio = comp_size / raw_bytes
+    print(f"# compile+validate {time.time() - t0:.1f}s, ratio {ratio:.4f}",
+          file=sys.stderr)
 
-    def timeit(fn, *args):
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.time()
-            out = fn(*args)
-            jax.tree_util.tree_map(
-                lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t,
-                out,
-            )
-            best = min(best, time.time() - t0)
-        return best
+    def timeit(fn, args_list):
+        out = None
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(args_list[i % K])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf).ravel()[0]  # host readback closes the chain
+        return (time.perf_counter() - t0) / iters
 
-    t_comp = timeit(compress, words)
-    t_decomp = timeit(decompress, arc)
+    t_comp = timeit(compress, words_list)
+    t_decomp = timeit(decompress, arcs)
 
     comp_gbps = raw_bytes / t_comp / 1e9
     decomp_gbps = raw_bytes / t_decomp / 1e9

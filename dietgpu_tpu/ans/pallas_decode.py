@@ -312,7 +312,6 @@ def ans_decode_padded_pallas(
     little-endian 4 bytes per u32 (shape (out_max//4,)) — the layout the
     float codec consumes directly.
     """
-    assert archive.dtype == jnp.uint8
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     NB = out_max // C.DEFAULT_BLOCK_SIZE
     T = min(block_tile, max(8, NB))
@@ -320,7 +319,11 @@ def ans_decode_padded_pallas(
         T += 1
     NBp = C.round_up(NB, T)
 
-    arc32 = layout.u8_to_u32le(archive)
+    if archive.dtype == jnp.uint8:
+        arc32 = layout.u8_to_u32le(archive)
+    else:
+        assert archive.dtype in (_U32, jnp.int32)
+        arc32 = archive.astype(_U32)
     A32 = arc32.shape[0]
 
     h = arc32[:8]

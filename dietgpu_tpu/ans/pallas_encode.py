@@ -449,58 +449,6 @@ def _encode_stage2(
     return arc, trow, srow, dloc, drot, seed, prow0, size
 
 
-@functools.lru_cache(maxsize=None)
-def _stage0_jit(L, prob_bits):
-    def run(data32, length):
-        data_u8 = layout.u32_to_u8le(data32.astype(_U32))
-        hist = stats.histogram_u8(data_u8, length)
-        return stats.normalize_probs(hist, length.astype(_U32), prob_bits)
-
-    return jax.jit(run)
-
-
-@functools.lru_cache(maxsize=None)
-def _normalize_jit(prob_bits):
-    def run(hist, length):
-        return stats.normalize_probs(hist, length.astype(_U32), prob_bits)
-
-    return jax.jit(run)
-
-
-@functools.lru_cache(maxsize=None)
-def _stage1_jit(L, NBp, T, prob_bits, use_checksum):
-    return jax.jit(
-        functools.partial(
-            _encode_stage1, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
-            use_checksum=use_checksum,
-        )
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _stage2_jit(L, NBp, T, prob_bits, use_checksum, block_tile):
-    return jax.jit(
-        functools.partial(
-            _encode_stage2, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
-            use_checksum=use_checksum, block_tile=block_tile,
-        )
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _stage3_jit(XR, return_u32):
-    def run(arc, pay_rows, prow0):
-        arc_rows = jax.lax.dynamic_update_slice(
-            arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
-        )
-        arc32 = arc_rows.reshape(-1).astype(_U32)
-        if return_u32:
-            return arc32
-        return layout.u32_to_u8le(arc32)
-
-    return jax.jit(run)
-
-
 def ans_encode_padded_pallas(
     data: jnp.ndarray,
     length,
@@ -513,57 +461,61 @@ def ans_encode_padded_pallas(
 ):
     """Pallas-backed drop-in for ans_encode_padded (same archive contract).
 
-    Host-level two-stage pipeline (encode kernel, then assembly kernel),
-    each stage its own jitted program: combining both Mosaic kernels in one
-    XLA program miscompiles on current libtpu (payload words sporadically
-    gain bit 15), so this function must be called OUTSIDE jit. The traced
-    XLA path (ans/encode.py) remains the composable fallback.
-
-    `data` may be (L,) u8 or the same bytes packed little-endian as (L//4,)
-    u32 (the layout the float split kernel produces). With return_u32=True
-    the archive is returned as (A//4,) u32.
+    Fully traced (jit/vmap-safe at the call level; the Pallas kernels carry
+    their own grids). `data` may be (L,) u8 or the same bytes packed
+    little-endian as (L//4,) u32 (the layout the float split kernel
+    produces). With return_u32=True the archive is returned as (A//4,) u32
+    whose little-endian byte view is the archive.
     """
     assert prob_bits in C.SUPPORTED_PROB_BITS
-    if isinstance(data, jax.core.Tracer):
-        raise TypeError(
-            "ans_encode_padded_pallas is a host-level pipeline; use the XLA "
-            "backend inside jit/vmap/shard_map"
-        )
     if data.dtype == jnp.uint8:
         L = data.shape[0]
-        data32 = jax.jit(lambda d: layout.u8_to_u32le(d).astype(_I32))(data)
+        data32 = layout.u8_to_u32le(data).astype(_I32)
+        data_u8 = data
     else:
         assert data.dtype in (_U32, _I32)
         L = data.shape[0] * 4
         data32 = data.astype(_I32)
+        data_u8 = None
     NB = L // C.DEFAULT_BLOCK_SIZE
     assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
     length = jnp.asarray(length, _I32)
 
     if precomputed_pdf is not None:
         pdf = jnp.asarray(precomputed_pdf).astype(_U32)
-    elif precomputed_histogram is not None:
-        pdf = _normalize_jit(prob_bits)(precomputed_histogram, length)
     else:
-        pdf = _stage0_jit(L, prob_bits)(data32, length)
+        hist = precomputed_histogram
+        if hist is None:
+            if data_u8 is None:
+                data_u8 = layout.u32_to_u8le(data32.astype(_U32))
+            hist = stats.histogram_u8(data_u8, length)
+        pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
     T = min(block_tile, max(8, NB))
     while T % 8 != 0:
         T += 1
     NBp = C.round_up(NB, T)
 
-    s1 = _stage1_jit(L, NBp, T, prob_bits, bool(use_checksum))
-    staged, counts, states_out, uncomp, checksum = s1(data32, length, pdf)
-    s2 = _stage2_jit(L, NBp, T, prob_bits, bool(use_checksum), block_tile)
-    arc, trow, srow, dloc, drot, seed, prow0, size = s2(
-        staged, counts, states_out, uncomp, checksum, pdf, length
+    staged, counts, states_out, uncomp, checksum = _encode_stage1(
+        data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
+        use_checksum=use_checksum,
+    )
+    arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
+        staged, counts, states_out, uncomp, checksum, pdf, length,
+        L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
+        block_tile=block_tile,
     )
     PR = NBp * (PAGES // 2) + 32
     asm = _build_assembly_call(NBp, T, PR)
     pay_rows = asm(trow, srow, dloc, drot, staged, seed)
     XR = archive_buffer_bytes_pallas(L, block_tile) // 512
-    arc32 = _stage3_jit(XR, bool(return_u32))(arc, pay_rows, prow0)
-    return arc32, size
+    arc_rows = jax.lax.dynamic_update_slice(
+        arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
+    )
+    arc32 = arc_rows.reshape(-1).astype(_U32)
+    if return_u32:
+        return arc32, size
+    return layout.u32_to_u8le(arc32), size
 
 
 def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:

@@ -11,8 +11,8 @@ Decompress reverses it with the size cross-check
 import jax
 import jax.numpy as jnp
 
-from .. import backend as backend_mod
 from .. import constants as C
+from ..ans import decode as ans_decode_mod
 from ..ans import encode as ans_encode_mod
 from ..ans import layout
 from ..ans import stats
@@ -72,7 +72,7 @@ def float_compress_padded(
     comp = jnp.where(valid, comp, jnp.uint8(0))
 
     hist = stats.histogram_u8(comp, length)
-    ans_arc, ans_size = backend_mod.ans_encode_padded(
+    ans_arc, ans_size = ans_encode_mod.ans_encode_padded(
         comp, length, prob_bits, use_checksum=False, precomputed_histogram=hist
     )
 
@@ -158,7 +158,7 @@ def float_decompress_padded(
     # so the sliced ANS archive can be reinterpreted as u32 words.
     ans_arc = jax.lax.dynamic_slice(arc_padded, (ans_off,), (A,))
 
-    res = backend_mod.ans_decode_padded(
+    res = ans_decode_mod.ans_decode_padded(
         ans_arc, prob_bits, Lw, verify_checksum=False
     )
     comp = res["out"]

@@ -1,0 +1,165 @@
+"""Pallas float codec: compress/decompress pipelines, u32-native end to end.
+
+The TPU-fast twin of :mod:`dietgpu_tpu.floatcodec.codec` (which remains the
+CPU-runnable XLA reference). Data stays packed four bytes per u32
+throughout — the split kernel emits packed exponent/raw planes, the Pallas
+rANS kernels consume and produce packed words, and archives are u32 row
+buffers; no strided byte interleaves ever run in XLA.
+
+Archive layout is the reference's (GpuFloatCompress.cuh:420-427):
+[GpuFloatHeader 16B][nonComp plane, 16B-rounded][ANS archive of exponents].
+f32 (two raw planes, GpuFloatUtils.cuh:181-203) currently routes to the XLA
+path; bf16/f16 are the flagship formats here.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ans import pallas_decode as pdec
+from ..ans import pallas_encode as penc
+from ..ans import stats
+from . import pallas_float as pf
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+def float_archive_u32_bytes(float_type: int, padded_words: int) -> int:
+    """Static u32 archive buffer size (bytes) for the Pallas float codec."""
+    return (
+        C.FLOAT_HEADER_BYTES
+        + C.float_noncomp_bytes(float_type, padded_words)
+        + penc.archive_buffer_bytes_pallas(padded_words)
+    )
+
+
+def float_compress_padded_pallas(
+    words: jnp.ndarray,
+    length,
+    float_type: int,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    use_checksum: bool = False,
+):
+    """Compress words[:length] into a float archive (u32 buffer).
+
+    Args:
+      words: (Lw,) u16 raw float words, Lw a positive multiple of 4096.
+      length: dynamic word count.
+
+    Returns (archive u32 (F//4,), size u32 bytes).
+    """
+    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    assert words.dtype == jnp.uint16
+    Lw = words.shape[0]
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    length = jnp.asarray(length, _I32)
+
+    valid = jnp.arange(Lw, dtype=_I32) < length
+    wz = jnp.where(valid, words, jnp.uint16(0))
+    pairs = wz[0::2].astype(_U32) | (wz[1::2].astype(_U32) << 16)
+
+    exp32, nc32, hist = pf.split_words_pallas(pairs, float_type)
+    exp32 = exp32[: Lw // 4].astype(_U32)
+    nc32 = nc32[: Lw // 4].astype(_U32)
+    # the split kernel histograms its zero-padded full tile; padding words
+    # (value 0) land in the exponent-0 bin
+    total = pf.split_total_words(Lw)
+    hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
+    pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+
+    ans_arc32, ans_size = penc.ans_encode_padded_pallas(
+        exp32, length, prob_bits, use_checksum=False, precomputed_pdf=pdf,
+        return_u32=True,
+    )
+
+    checksum = _U32(0)
+    if use_checksum:
+        from ..ans.checksum import checksum_u8
+        from ..ans import layout
+
+        checksum = checksum_u8(layout.u32_to_u8le(pairs), length * 2)
+
+    header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
+    header = header.at[1].set(length.astype(_U32))
+    header = header.at[2].set(_U32((float_type & 0xF) | (int(use_checksum) << 4)))
+    header = header.at[3].set(checksum)
+
+    F4 = float_archive_u32_bytes(float_type, Lw) // 4
+    buf = jnp.zeros(F4, _U32)
+    buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+    plane32 = C.round_up(length, 16) >> 2
+    buf = jax.lax.dynamic_update_slice(buf, nc32, (4,))
+    ans_off = 4 + plane32
+    buf = jax.lax.dynamic_update_slice(buf, ans_arc32, (ans_off,))
+    size = _U32(16) + (plane32 * 4).astype(_U32) + ans_size
+    return buf, size
+
+
+def float_decompress_padded_pallas(
+    archive32: jnp.ndarray,
+    float_type: int,
+    out_max_words: int,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    verify_checksum: bool = False,
+):
+    """Decompress a float archive (u32 buffer view).
+
+    Returns dict: out (out_max_words,) u16, size u32 (words), success,
+    checksum_ok.
+    """
+    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    assert archive32.dtype in (_U32, _I32)
+    Lw = out_max_words
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    arc = archive32.astype(_U32)
+
+    h = arc[:4]
+    magic_ok = h[0] == _U32((C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION)
+    n = h[1].astype(_I32)
+    options = h[2]
+    ft_ok = (options & _U32(0xF)) == _U32(float_type)
+    has_checksum = (options & _U32(0x10)) != 0
+    stored_checksum = h[3]
+    capacity_ok = n <= Lw
+    n_eff = jnp.clip(n, 0, Lw)
+
+    plane32 = C.round_up(n_eff, 16) >> 2
+    ans_off = 4 + plane32
+    A4 = penc.archive_buffer_bytes_pallas(Lw) // 4
+    arc_pad = jnp.concatenate([arc, jnp.zeros(A4 + 4, _U32)])
+    ans_arc32 = jax.lax.dynamic_slice(arc_pad, (ans_off,), (A4,))
+
+    res = pdec.ans_decode_padded_pallas(
+        ans_arc32, prob_bits, Lw, verify_checksum=False, return_u32=True
+    )
+    exp32 = res["out"]
+    ans_n = res["size"].astype(_I32)
+    size_ok = ans_n == n_eff
+
+    nc32 = jax.lax.dynamic_slice(arc_pad, (4,), (Lw // 4,))
+    pairs = pf.join_words_pallas(exp32, nc32, float_type)
+
+    # mask everything past n: zero the tail pair half-word too
+    idx2 = jnp.arange(Lw // 2, dtype=_I32)
+    full = idx2 < (n_eff >> 1)
+    half = idx2 == (n_eff >> 1)
+    tailmask = jnp.where((n_eff & 1) == 1, _U32(0xFFFF), _U32(0))
+    pairs = jnp.where(
+        full, pairs, jnp.where(half, pairs & tailmask, _U32(0))
+    )
+
+    success = magic_ok & ft_ok & capacity_ok & res["success"] & size_ok
+    result = {
+        "out32": pairs,  # u16 word-pairs, little-endian: the decoded floats
+        "size": n.astype(_U32),
+        "success": success,
+        "checksum_ok": jnp.bool_(True),
+    }
+    if verify_checksum:
+        from ..ans.checksum import checksum_u8
+        from ..ans import layout
+
+        actual = checksum_u8(layout.u32_to_u8le(pairs), n_eff * 2)
+        result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+    return result

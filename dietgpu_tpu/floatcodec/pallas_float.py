@@ -1,0 +1,248 @@
+"""Pallas float-codec kernels: split, join, and exponent histogram.
+
+TPU-native equivalents of the reference's fused float kernels:
+  * split (FloatTypeInfo<FT>::split, GpuFloatUtils.cuh:111-167, fused with
+    the exponent histogram as in splitFloat, GpuFloatCompress.cuh:280-365):
+    raw f16/bf16 words arrive packed two per u32; the kernel emits the
+    rANS-bound exponent bytes and the raw sign/significand bytes, each
+    packed four per u32 (the layout the Pallas rANS kernels consume), plus
+    a 256-bin histogram of the exponent bytes.
+  * join (JoinFloatWriter / joinFloat, GpuFloatDecompress.cuh:25-141):
+    exponent bytes + raw bytes back to packed float words.
+
+Byte re-interleaving is done with lane-wise `tpu.dynamic_gather`s (XLA's
+strided slices run ~1000x too slowly on TPU). The histogram uses the
+16x16 nibble factorization on the MXU: joint(hi,lo) = OH_hi^T @ OH_lo.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+SPLIT_TILE = 256  # input u32-pair rows per grid step
+
+
+def _taa(tab, idx):
+    return jnp.take_along_axis(tab, idx, axis=1)
+
+
+def _srl(x, s):
+    return jax.lax.shift_right_logical(x, s)
+
+
+def _split_pair(p, float_type: int):
+    """Split a u32 holding two f16/bf16 words -> (c0, c1, m0, m1) bytes."""
+    w0 = p & 0xFFFF
+    w1 = _srl(p, 16)
+    if float_type == C.FLOAT_TYPE_BFLOAT16:
+        w0 = ((w0 << 1) | _srl(w0, 15)) & 0xFFFF
+        w1 = ((w1 << 1) | _srl(w1, 15)) & 0xFFFF
+    return _srl(w0, 8), _srl(w1, 8), w0 & 0xFF, w1 & 0xFF
+
+
+def _join_word(c, m, float_type: int):
+    w = ((c & 0xFF) << 8) | (m & 0xFF)
+    if float_type == C.FLOAT_TYPE_BFLOAT16:
+        w = (_srl(w, 1) | (w << 15)) & 0xFFFF
+    return w
+
+
+def _split_kernel(float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref):
+    """in (R,128) u32-pairs -> exp/nc (R/2,128) packed bytes + histogram."""
+    lane = jax.lax.broadcasted_iota(_I32, (R // 2, 128), 1)
+    i = pl.program_id(0)
+
+    pairs = in_ref[:]
+    c0, c1, m0, m1 = _split_pair(pairs, float_type)
+
+    # byte k of output u32 l comes from word 4l+k, i.e. pair (4l+k)>>1 of
+    # the DOUBLE-width input: out row r draws input row 2r + (l>=64)
+    half = in_ref[:].reshape(R // 2, 2, 128)
+    del half  # (documentation of the mapping; gathers below do the work)
+
+    def pack(v0, v1):
+        # v0/v1: (R,128) byte planes of word0/word1 per pair.
+        # out[r, l] = v0[pair 2l'] | v1[pair 2l']<<8 | v0[pair 2l'+1]<<16 ...
+        # where pair index = 128*(2r + (l>=64)) + (2l & 127).
+        src0 = v0.reshape(R // 2, 2, 128)
+        src1 = v1.reshape(R // 2, 2, 128)
+        il = (2 * lane) & 127
+        lo_sel = lane < 64
+        a0 = jnp.where(
+            lo_sel, _taa(src0[:, 0, :], il), _taa(src0[:, 1, :], il)
+        )
+        a1 = jnp.where(
+            lo_sel, _taa(src1[:, 0, :], il), _taa(src1[:, 1, :], il)
+        )
+        a2 = jnp.where(
+            lo_sel, _taa(src0[:, 0, :], il + 1), _taa(src0[:, 1, :], il + 1)
+        )
+        a3 = jnp.where(
+            lo_sel, _taa(src1[:, 0, :], il + 1), _taa(src1[:, 1, :], il + 1)
+        )
+        return a0 | (a1 << 8) | (a2 << 16) | (a3 << 24)
+
+    exp_ref[:] = pack(c0, c1)
+    nc_ref[:] = pack(m0, m1)
+
+    # --- fused exponent histogram: 16x16 nibble joint via MXU ---
+    @pl.when(i == 0)
+    def _():
+        hist_ref[:] = jnp.zeros((16, 128), jnp.float32)
+
+    iota16 = jax.lax.broadcasted_iota(_I32, (16, R * 128), 0)
+
+    def onehot16(v):
+        flat = v.reshape(1, R * 128)
+        return (jnp.broadcast_to(flat, (16, R * 128)) == iota16).astype(
+            jnp.bfloat16
+        )
+
+    joint = jnp.zeros((16, 16), jnp.float32)
+    for c in (c0, c1):
+        hi = onehot16(_srl(c, 4))
+        lo = onehot16(c & 15)
+        joint = joint + jax.lax.dot_general(
+            hi, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    pad = jnp.zeros((16, 112), jnp.float32)
+    hist_ref[:] = hist_ref[:] + jnp.concatenate([joint, pad], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_split_call(RP: int, float_type: int):
+    grid = RP // SPLIT_TILE
+    kernel = functools.partial(_split_kernel, float_type, SPLIT_TILE)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((RP // 2, 128), _I32),
+            jax.ShapeDtypeStruct((RP // 2, 128), _I32),
+            jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (SPLIT_TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (SPLIT_TILE // 2, 128), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (SPLIT_TILE // 2, 128), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+
+def split_total_words(Lw: int) -> int:
+    """Total words (incl. zero padding) the split kernel histograms."""
+    n2 = Lw // 2
+    RP = C.round_up(max(C.div_up(n2, 128), SPLIT_TILE), SPLIT_TILE)
+    return 2 * RP * 128
+
+
+def split_words_pallas(words32: jnp.ndarray, float_type: int):
+    """(Lw/2,) u32 word-pairs -> (exp32, nc32, hist256).
+
+    exp32/nc32 are (Lw/4,) u32 (bytes packed little-endian, natural order);
+    hist256 is the exact exponent histogram of ALL Lw bytes (callers mask
+    padding by ensuring padded words are zero and correcting bin counts, or
+    simply by passing the true length to normalize via the zero bin) — here
+    padded input words must be zero and the caller subtracts the pad count
+    from the histogram bin of the zero-word exponent byte.
+    """
+    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    n2 = words32.shape[0]
+    RP = C.div_up(n2, 128)
+    RP = C.round_up(max(RP, SPLIT_TILE), SPLIT_TILE)
+    x = jnp.zeros(RP * 128, _I32)
+    x = x.at[:n2].set(words32.astype(_I32))
+    call = _build_split_call(RP, float_type)
+    exp32, nc32, hist = call(x.reshape(RP, 128))
+    hist256 = hist[:, :16].reshape(256).astype(_U32)
+    return exp32.reshape(-1), nc32.reshape(-1), hist256
+
+
+def _join_kernel(float_type: int, R: int, exp_ref, nc_ref, out_ref):
+    """exp/nc (R,128) packed bytes -> out (2R,128) u32 word-pairs."""
+    lane = jax.lax.broadcasted_iota(_I32, (R, 128), 1)
+    exp = exp_ref[:]
+    nc = nc_ref[:]
+
+    # out pair i (word 2i, 2i+1) needs bytes 2i,2i+1 of exp/nc:
+    # byte j lives in u32 j>>2 at byte j&3. For out row q (of 2R rows),
+    # out[q, l]: i = 128q + l; src u32 index = i>>1 = 64q + (l>>1):
+    # src row q>>1, src lane 64*(q&1) + (l>>1).
+    def halves(src):
+        # returns bytes (2i)&... as two planes for even/odd output rows
+        b0 = _taa(src, _srl(lane, 1))          # u32 containing byte 2i
+        b1 = _taa(src, 64 + _srl(lane, 1))
+        return b0, b1
+
+    eb0, eb1 = halves(exp)
+    mb0, mb1 = halves(nc)
+
+    def build(eb, mb):
+        # for out lane l: i = 128q + l, byte index j0 = 2i & 3 = (2l)&3,
+        # j1 = (2l+1)&3 within the gathered u32
+        sh0 = ((2 * lane) & 3) << 3
+        sh1 = ((2 * lane + 1) & 3) << 3
+        c0 = _srl(eb, sh0) & 0xFF
+        c1 = _srl(eb, sh1) & 0xFF
+        m0 = _srl(mb, sh0) & 0xFF
+        m1 = _srl(mb, sh1) & 0xFF
+        w0 = _join_word(c0, m0, float_type)
+        w1 = _join_word(c1, m1, float_type)
+        return w0 | (w1 << 16)
+
+    out0 = build(eb0, mb0)  # even output rows
+    out1 = build(eb1, mb1)  # odd output rows
+    out = jnp.stack([out0, out1], axis=1).reshape(2 * R, 128)
+    out_ref[:] = out
+
+
+@functools.lru_cache(maxsize=None)
+def _build_join_call(RP: int, float_type: int):
+    TILE = SPLIT_TILE // 2
+    grid = RP // TILE
+    kernel = functools.partial(_join_kernel, float_type, TILE)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2 * RP, 128), _I32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+
+def join_words_pallas(exp32: jnp.ndarray, nc32: jnp.ndarray, float_type: int):
+    """(Lw/4,) packed exponent + raw bytes -> (Lw/2,) u32 word-pairs."""
+    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    n4 = exp32.shape[0]
+    TILE = SPLIT_TILE // 2
+    RP = C.round_up(max(C.div_up(n4, 128), TILE), TILE)
+    e = jnp.zeros(RP * 128, _I32).at[:n4].set(exp32.astype(_I32))
+    m = jnp.zeros(RP * 128, _I32).at[:n4].set(nc32.astype(_I32))
+    call = _build_join_call(RP, float_type)
+    out = call(e.reshape(RP, 128), m.reshape(RP, 128))
+    return out.reshape(-1)[: 2 * n4].astype(_U32)
