@@ -61,11 +61,14 @@ def main():
         x = rng.standard_normal(Lw).astype(np.float32)
         w = (x.view(np.uint32) >> 16).astype(np.uint16)
         w[n:] = 0
-        words_list.append(jnp.asarray(w))
+        words_list.append(w)
 
     if use_pallas:
         from dietgpu_tpu.floatcodec import pallas_codec as pfc
 
+        # pass the raw bits as u32 word-pairs (same HBM bytes as the bf16
+        # tensor; a bf16 array view is bit-identical)
+        words_list = [jnp.asarray(w.view(np.uint32)) for w in words_list]
         compress = jax.jit(
             lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
         )
@@ -76,6 +79,7 @@ def main():
     else:
         from dietgpu_tpu.floatcodec import codec as fcodec
 
+        words_list = [jnp.asarray(w) for w in words_list]
         compress = jax.jit(
             lambda w: fcodec.float_compress_padded(w, n, ft, 10, False)
         )
@@ -92,7 +96,7 @@ def main():
         arcs.append(arc)
         r = decompress(arc)
         assert bool(r["success"]), "decode reported failure"
-        w = np.asarray(words_list[k])
+        w = np.asarray(words_list[k]).view(np.uint16)
         if out_key == "out32":
             pairs = np.asarray(r["out32"])
             got = np.zeros(Lw, np.uint16)
@@ -112,7 +116,9 @@ def main():
         for i in range(iters):
             out = fn(args_list[i % K])
         leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = np.asarray(leaf).ravel()[0]  # host readback closes the chain
+        # 1-element device-side slice: closes the chain without paying a
+        # full-buffer transfer through the (slow) host tunnel
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) / iters
 
     t_comp = timeit(compress, words_list)

@@ -378,10 +378,17 @@ def _encode_stage1(
 def _encode_stage2(
     staged, counts, states_out, uncomp, checksum, pdf, length,
     L: int, NBp: int, T: int, prob_bits: int, use_checksum: bool,
-    block_tile: int,
+    block_tile: int, static_n: int | None = None,
 ):
-    """Traced stage 2: section prefill + payload assembly kernel."""
-    nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
+    """Traced stage 2: section prefill + payload assembly kernel.
+
+    With static_n set (length known at trace time), all section offsets are
+    Python ints, so the DUS/slice ops take the fast static-start path.
+    """
+    if static_n is not None:
+        nb = (static_n + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
+    else:
+        nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
     bidx = jnp.arange(NBp, dtype=_I32)
     words = jnp.where(bidx < nb, counts[:, 0], 0)
     # dead padding blocks carry the initial rANS state (2^15); zero them so
@@ -391,13 +398,26 @@ def _encode_stage2(
     )
 
     words_padded = C.round_up(words, C.WORDS_PER_ALIGN)
-    prefix = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(words_padded)])
-    total_words = prefix[NBp]
+    if NBp % 128 == 0:
+        # 2D cumsum: row-wise scans + row offsets (fast on TPU)
+        wp2 = words_padded.reshape(NBp // 128, 128)
+        cs = jnp.cumsum(wp2, axis=1)
+        rowtot = cs[:, -1]
+        rowoff = jnp.concatenate(
+            [jnp.zeros(1, _I32), jnp.cumsum(rowtot)]
+        )
+        incl = (cs + rowoff[:-1][:, None]).reshape(NBp)
+        total_words = rowoff[-1]
+        prefix = jnp.concatenate([jnp.zeros(1, _I32), incl])
+    else:
+        prefix = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(words_padded)])
+        total_words = prefix[NBp]
     options = _U32(prob_bits | (int(use_checksum) << 4))
 
     bw_start = 136 + nb * W
     rnb2 = nb + (nb & 1)
     ds32 = bw_start + rnb2 * 2
+    prow0 = (ds32 >> 7) & ~7
 
     A = archive_buffer_bytes_pallas(L, block_tile)
     XR = A // 512
@@ -405,8 +425,8 @@ def _encode_stage2(
     header = jnp.array(
         [(C.ANS_MAGIC << 16) | C.ANS_VERSION, 0, 0, 0, 0, 0, 0, 0], _U32
     )
-    header = header.at[1].set(nb.astype(_U32))
-    header = header.at[2].set(length.astype(_U32))
+    header = header.at[1].set(jnp.asarray(nb, _U32))
+    header = header.at[2].set(jnp.asarray(length, _I32).astype(_U32))
     header = header.at[3].set(total_words.astype(_U32))
     header = header.at[4].set(options)
     header = header.at[5].set(checksum)
@@ -422,12 +442,11 @@ def _encode_stage2(
     bw = jnp.zeros((NBp + 2, 2), _U32)
     bw = bw.at[:NBp, 0].set(bw_x).at[:NBp, 1].set(bw_y)
     arc = jax.lax.dynamic_update_slice(
-        arc, bw.reshape(-1), (bw_start.astype(_I32),)
+        arc, bw.reshape(-1), (jnp.asarray(bw_start, _I32),)
     )
 
     # ---- payload via the assembly kernel ----
     p32 = ds32 + (prefix[:NBp] >> 1)
-    prow0 = (ds32 >> 7) & ~7
     trow = ((p32[0::T] >> 7) & ~7) - prow0
     trow_next = jnp.concatenate(
         [
@@ -442,7 +461,10 @@ def _encode_stage2(
     drot = p32 & 127
     trow = jnp.clip(trow, 0, PR - RTE)
     seed = jax.lax.dynamic_slice(
-        arc.reshape(XR, 128).astype(_I32), (prow0, 0), (8, 128)
+        arc.reshape(XR, 128).astype(_I32), (jnp.asarray(prow0, _I32), 0),
+        (8, 128),
+    ) if static_n is None else jax.lax.slice(
+        arc.reshape(XR, 128).astype(_I32), (prow0, 0), (prow0 + 8, 128)
     )
 
     size = ((ds32 + total_words // 2) * 4).astype(_U32)
@@ -479,7 +501,6 @@ def ans_encode_padded_pallas(
         data_u8 = None
     NB = L // C.DEFAULT_BLOCK_SIZE
     assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
-    length = jnp.asarray(length, _I32)
 
     if precomputed_pdf is not None:
         pdf = jnp.asarray(precomputed_pdf).astype(_U32)
@@ -489,13 +510,17 @@ def ans_encode_padded_pallas(
             if data_u8 is None:
                 data_u8 = layout.u32_to_u8le(data32.astype(_U32))
             hist = stats.histogram_u8(data_u8, length)
-        pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+        pdf = stats.normalize_probs(
+            hist, jnp.asarray(length, _I32).astype(_U32), prob_bits
+        )
 
     T = min(block_tile, max(8, NB))
     while T % 8 != 0:
         T += 1
     NBp = C.round_up(NB, T)
 
+    static_n = length if isinstance(length, int) else None
+    length = jnp.asarray(length, _I32)
     staged, counts, states_out, uncomp, checksum = _encode_stage1(
         data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
         use_checksum=use_checksum,
@@ -503,15 +528,25 @@ def ans_encode_padded_pallas(
     arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
         staged, counts, states_out, uncomp, checksum, pdf, length,
         L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
-        block_tile=block_tile,
+        block_tile=block_tile, static_n=static_n,
     )
     PR = NBp * (PAGES // 2) + 32
     asm = _build_assembly_call(NBp, T, PR)
     pay_rows = asm(trow, srow, dloc, drot, staged, seed)
     XR = archive_buffer_bytes_pallas(L, block_tile) // 512
-    arc_rows = jax.lax.dynamic_update_slice(
-        arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
-    )
+    if isinstance(prow0, int):
+        head = jax.lax.slice(
+            arc.reshape(XR, 128).astype(_I32), (0, 0), (prow0, 128)
+        )
+        tailr = XR - prow0 - PR
+        tail = jax.lax.slice(
+            arc.reshape(XR, 128).astype(_I32), (XR - tailr, 0), (XR, 128)
+        )
+        arc_rows = jnp.concatenate([head, pay_rows, tail], axis=0)
+    else:
+        arc_rows = jax.lax.dynamic_update_slice(
+            arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
+        )
     arc32 = arc_rows.reshape(-1).astype(_U32)
     if return_u32:
         return arc32, size

@@ -50,14 +50,26 @@ def float_compress_padded_pallas(
     Returns (archive u32 (F//4,), size u32 bytes).
     """
     assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
-    assert words.dtype == jnp.uint16
-    Lw = words.shape[0]
-    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    static_n = length if isinstance(length, int) else None
     length = jnp.asarray(length, _I32)
-
-    valid = jnp.arange(Lw, dtype=_I32) < length
-    wz = jnp.where(valid, words, jnp.uint16(0))
-    pairs = wz[0::2].astype(_U32) | (wz[1::2].astype(_U32) << 16)
+    if words.dtype == jnp.uint16:
+        # slow path: XLA strided packing (prefer passing u32 word-pairs)
+        Lw = words.shape[0]
+        valid = jnp.arange(Lw, dtype=_I32) < length
+        wz = jnp.where(valid, words, jnp.uint16(0))
+        pairs = wz[0::2].astype(_U32) | (wz[1::2].astype(_U32) << 16)
+    else:
+        assert words.dtype in (_U32, _I32)
+        Lw = words.shape[0] * 2
+        idx2 = jnp.arange(Lw // 2, dtype=_I32)
+        full = idx2 < (length >> 1)
+        half = idx2 == (length >> 1)
+        tailmask = jnp.where((length & 1) == 1, _U32(0xFFFF), _U32(0))
+        w32 = words.astype(_U32)
+        pairs = jnp.where(
+            full, w32, jnp.where(half, w32 & tailmask, _U32(0))
+        )
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
 
     exp32, nc32, hist = pf.split_words_pallas(pairs, float_type)
     exp32 = exp32[: Lw // 4].astype(_U32)
@@ -69,8 +81,8 @@ def float_compress_padded_pallas(
     pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
     ans_arc32, ans_size = penc.ans_encode_padded_pallas(
-        exp32, length, prob_bits, use_checksum=False, precomputed_pdf=pdf,
-        return_u32=True,
+        exp32, static_n if static_n is not None else length, prob_bits,
+        use_checksum=False, precomputed_pdf=pdf, return_u32=True,
     )
 
     checksum = _U32(0)
@@ -88,11 +100,15 @@ def float_compress_padded_pallas(
     F4 = float_archive_u32_bytes(float_type, Lw) // 4
     buf = jnp.zeros(F4, _U32)
     buf = jax.lax.dynamic_update_slice(buf, header, (0,))
-    plane32 = C.round_up(length, 16) >> 2
+    plane32 = C.round_up(
+        static_n if static_n is not None else length, 16
+    ) >> 2
     buf = jax.lax.dynamic_update_slice(buf, nc32, (4,))
     ans_off = 4 + plane32
-    buf = jax.lax.dynamic_update_slice(buf, ans_arc32, (ans_off,))
-    size = _U32(16) + (plane32 * 4).astype(_U32) + ans_size
+    buf = jax.lax.dynamic_update_slice(
+        buf, ans_arc32, (jnp.asarray(ans_off, _I32),)
+    )
+    size = _U32(16) + jnp.asarray(plane32 * 4, _U32) + ans_size
     return buf, size
 
 

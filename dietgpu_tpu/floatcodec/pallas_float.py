@@ -93,29 +93,23 @@ def _split_kernel(float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref):
     exp_ref[:] = pack(c0, c1)
     nc_ref[:] = pack(m0, m1)
 
-    # --- fused exponent histogram: 16x16 nibble joint via MXU ---
+    # --- fused exponent histogram (exact): per-bin compare + reduce.
+    # (A scatter-free TPU histogram is inherently ~256 compares/byte; see
+    # docstring. Candidate for a smarter formulation in a later round.)
     @pl.when(i == 0)
     def _():
-        hist_ref[:] = jnp.zeros((16, 128), jnp.float32)
+        hist_ref[:] = jnp.zeros((2, 128), jnp.float32)
 
-    iota16 = jax.lax.broadcasted_iota(_I32, (16, R * 128), 0)
-
-    def onehot16(v):
-        flat = v.reshape(1, R * 128)
-        return (jnp.broadcast_to(flat, (16, R * 128)) == iota16).astype(
-            jnp.bfloat16
+    c = jnp.concatenate([c0, c1], axis=0)  # (2R,128) exponent bytes
+    hrow = jax.lax.broadcasted_iota(_I32, (2, 128), 0)
+    hcol = jax.lax.broadcasted_iota(_I32, (2, 128), 1)
+    acc = jnp.zeros((2, 128), jnp.float32)
+    for s in range(C.NUM_SYMBOLS):
+        cnt = jnp.sum((c == s).astype(jnp.float32))
+        acc = acc + jnp.where(
+            (hrow == (s >> 7)) & (hcol == (s & 127)), cnt, 0.0
         )
-
-    joint = jnp.zeros((16, 16), jnp.float32)
-    for c in (c0, c1):
-        hi = onehot16(_srl(c, 4))
-        lo = onehot16(c & 15)
-        joint = joint + jax.lax.dot_general(
-            hi, lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    pad = jnp.zeros((16, 112), jnp.float32)
-    hist_ref[:] = hist_ref[:] + jnp.concatenate([joint, pad], axis=1)
+    hist_ref[:] = hist_ref[:] + acc
 
 
 @functools.lru_cache(maxsize=None)
@@ -127,7 +121,7 @@ def _build_split_call(RP: int, float_type: int):
         out_shape=(
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
-            jax.ShapeDtypeStruct((16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[
@@ -144,7 +138,7 @@ def _build_split_call(RP: int, float_type: int):
                 (SPLIT_TILE // 2, 128), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
@@ -174,7 +168,7 @@ def split_words_pallas(words32: jnp.ndarray, float_type: int):
     x = x.at[:n2].set(words32.astype(_I32))
     call = _build_split_call(RP, float_type)
     exp32, nc32, hist = call(x.reshape(RP, 128))
-    hist256 = hist[:, :16].reshape(256).astype(_U32)
+    hist256 = hist.reshape(256).astype(_U32)
     return exp32.reshape(-1), nc32.reshape(-1), hist256
 
 

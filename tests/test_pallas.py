@@ -1,0 +1,142 @@
+"""Pallas kernel tests.
+
+Two tiers, mirroring the reference's test strategy (SURVEY.md §4):
+  * interpreter-mode roundtrips on CPU — hermetic, always run; they check
+    the kernel *logic* (the Mosaic interpreter executes the same jaxpr).
+  * real-hardware bit-exactness — opt-in via DIETGPU_TEST_TPU=1 (the driver
+    and bench exercise these on the actual chip).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dietgpu_tpu import constants as C
+from dietgpu_tpu.ans import encode as enc
+
+ON_TPU = bool(os.environ.get("DIETGPU_TEST_TPU"))
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    """Force pallas_call interpret mode and clear build caches."""
+    if ON_TPU:
+        yield
+        return
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    import dietgpu_tpu.ans.pallas_decode as pdec
+    import dietgpu_tpu.ans.pallas_encode as penc
+    import dietgpu_tpu.floatcodec.pallas_float as pf
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    for mod in (pdec, penc, pf):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+    yield
+    for mod in (pdec, penc, pf):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+
+
+def _expo_bytes(rng, n, lam=20):
+    return np.minimum(rng.exponential(lam, n), 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("n", [100, 4096, 12000])
+def test_pallas_ans_roundtrip_interpret(interpret_pallas, rng, n):
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    data = _expo_bytes(rng, n)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    dj = jnp.asarray(padded)
+
+    arc_x, size_x = enc.ans_encode_padded(dj, n, 10, False)
+    arc_p, size_p = penc.ans_encode_padded_pallas(dj, n, 10, False)
+    assert int(size_x) == int(size_p)
+    sx = int(size_x)
+    assert np.array_equal(np.asarray(arc_x)[:sx], np.asarray(arc_p)[:sx])
+
+    r = pdec.ans_decode_padded_pallas(arc_p, 10, L, False)
+    out = np.asarray(r["out"])
+    assert bool(r["success"])
+    assert int(r["size"]) == n
+    assert np.array_equal(out[:n], data)
+    assert not out[n:].any()
+
+
+def test_pallas_float_roundtrip_interpret(interpret_pallas, rng):
+    from dietgpu_tpu.floatcodec import codec as fcodec
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    n = 5000
+    Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    x = rng.standard_normal(Lw).astype(np.float32)
+    w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    w[n:] = 0
+    wj = jnp.asarray(w)
+
+    arc_x, size_x = fcodec.float_compress_padded(
+        wj, n, C.FLOAT_TYPE_BFLOAT16, 10, False
+    )
+    arc_p, size_p = pfc.float_compress_padded_pallas(
+        wj, n, C.FLOAT_TYPE_BFLOAT16, 10, False
+    )
+    sx = int(size_x)
+    assert sx == int(size_p)
+    assert np.array_equal(
+        np.asarray(arc_x)[:sx], np.asarray(arc_p).view(np.uint8)[:sx]
+    )
+
+    r = pfc.float_decompress_padded_pallas(
+        arc_p, C.FLOAT_TYPE_BFLOAT16, Lw, 10, False
+    )
+    assert bool(r["success"])
+    pairs = np.asarray(r["out32"])
+    got = np.zeros(Lw, np.uint16)
+    got[0::2] = pairs & 0xFFFF
+    got[1::2] = pairs >> 16
+    assert np.array_equal(got[:n], w[:n])
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+@pytest.mark.parametrize("pb", [9, 10, 11])
+def test_pallas_ans_tpu_bitexact(rng, pb):
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    n = 1 << 20
+    data = _expo_bytes(rng, n, 40)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    dj = jnp.asarray(padded)
+    arc_x, size_x = jax.jit(
+        lambda d: enc.ans_encode_padded(d, n, pb, False)
+    )(dj)
+    arc_p, size_p = jax.jit(
+        lambda d: penc.ans_encode_padded_pallas(d, n, pb, False)
+    )(dj)
+    sx = int(size_x)
+    assert sx == int(size_p)
+    assert np.array_equal(np.asarray(arc_x)[:sx], np.asarray(arc_p)[:sx])
+    r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, pb, L, False))(arc_p)
+    assert bool(r["success"])
+    assert np.array_equal(np.asarray(r["out"])[:n], data)
