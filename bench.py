@@ -88,7 +88,15 @@ def main():
         )
         out_key = "out"
 
-    # warm + validate roundtrip on every input (benchmark.py:83-84 parity)
+    # warm + validate roundtrip on every input (benchmark.py:83-84 parity);
+    # the comparison runs ON DEVICE — full-buffer host readbacks through the
+    # tunnel cost seconds and poison subsequent timing
+    if out_key == "out32":
+        check = jax.jit(
+            lambda o, w: jnp.array_equal(o[: n // 2], w[: n // 2])
+        )
+    else:
+        check = jax.jit(lambda o, w: jnp.array_equal(o[:n], w[:n]))
     arcs = []
     t0 = time.time()
     for k in range(K):
@@ -96,22 +104,19 @@ def main():
         arcs.append(arc)
         r = decompress(arc)
         assert bool(r["success"]), "decode reported failure"
-        w = np.asarray(words_list[k]).view(np.uint16)
-        if out_key == "out32":
-            pairs = np.asarray(r["out32"])
-            got = np.zeros(Lw, np.uint16)
-            got[0::2] = pairs & 0xFFFF
-            got[1::2] = pairs >> 16
-        else:
-            got = np.asarray(r["out"])
-        assert np.array_equal(got[:n], w[:n]), f"roundtrip mismatch input {k}"
+        out = r[out_key]
+        assert bool(check(out, words_list[k])), f"roundtrip mismatch input {k}"
     comp_size = int(size)
     ratio = comp_size / raw_bytes
     print(f"# compile+validate {time.time() - t0:.1f}s, ratio {ratio:.4f}",
           file=sys.stderr)
 
     def timeit(fn, args_list):
-        out = None
+        # settle round: absorb post-transfer warmup effects
+        for i in range(2):
+            out = fn(args_list[i % K])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
         t0 = time.perf_counter()
         for i in range(iters):
             out = fn(args_list[i % K])
