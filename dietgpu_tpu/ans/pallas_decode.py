@@ -346,14 +346,13 @@ def ans_decode_padded_pallas(
     bidx = jnp.arange(NBp, dtype=_I32)
     live = bidx < nb_eff
     bw_start = 136 + nb_eff * W
-    bw_x = jnp.where(
-        live, jnp.take(arc32, jnp.clip(bw_start + 2 * bidx, 0, A32 - 1)), _U32(0)
+    # blockWords is a contiguous section: one dynamic slice, no gathers
+    arc_ext = jnp.concatenate([arc32, jnp.zeros(2 * NBp + 2, _U32)])
+    bw_flat = jax.lax.dynamic_slice(
+        arc_ext, (bw_start,), (2 * NBp + 2,)
     )
-    bw_y = jnp.where(
-        live,
-        jnp.take(arc32, jnp.clip(bw_start + 2 * bidx + 1, 0, A32 - 1)),
-        _U32(0),
-    )
+    bw_x = jnp.where(live, bw_flat[0:-2:2], _U32(0))
+    bw_y = jnp.where(live, bw_flat[1:-1:2], _U32(0))
     uncomp = (bw_x >> _U32(16)).astype(_I32)
     cwords = (bw_x & _U32(0xFFFF)).astype(_I32)
     starts = bw_y.astype(_I32)
@@ -380,10 +379,12 @@ def ans_decode_padded_pallas(
         .set(off32)
     )
 
-    st_idx = jnp.clip(136 + bidx * W, 0, A32 - 1)
-    states = jnp.take(
-        arc32, jnp.clip(st_idx[:, None] + jnp.arange(W)[None, :], 0, A32 - 1)
+    # states is a contiguous section at a static offset: slice + reshape
+    st_flat = jax.lax.dynamic_slice(
+        jnp.concatenate([arc32, jnp.zeros(NBp * W + 136, _U32)]),
+        (136,), (NBp * W,),
     )
+    states = st_flat.reshape(NBp, W)
     states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
     states128 = jnp.zeros((NBp, 128), _I32)
     states128 = states128.at[:, :W].set(states.astype(_I32))
