@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import backend as backend_mod
 from .. import constants as C
 from ..floatcodec import codec as float_codec_mod
+from ..floatcodec import pallas_codec as pallas_codec_mod
 
 _U32 = jnp.uint32
 _WORD_DTYPE = {2: jnp.uint16, 4: jnp.uint32}
@@ -55,16 +57,46 @@ def _build_all_gather(
     Lw = C.round_up(shard_words, C.DEFAULT_BLOCK_SIZE)
     n_dev = mesh.devices.size
 
+    use_pallas = backend_mod.default_backend() == "pallas" and word == 2
+    budget4 = C.round_up(budget, 4) // 4
+
     def local(x):
         # x: (1, shard_words) local shard
         words = jax.lax.bitcast_convert_type(x[0], wd)
         padded = jnp.zeros(Lw, wd).at[:shard_words].set(words)
-        arc, size = float_codec_mod.float_compress_padded(
-            padded, shard_words, ft, prob_bits, False
-        )
+        if use_pallas:
+            # u32-native Pallas pipeline; the exchange rides in u32 words
+            arc32, size = pallas_codec_mod.float_compress_padded_pallas(
+                padded, shard_words, ft, prob_bits, False
+            )
+        else:
+            arc, size = float_codec_mod.float_compress_padded(
+                padded, shard_words, ft, prob_bits, False
+            )
         fits = size <= _U32(budget)
 
         def compressed_path(_):
+            if use_pallas:
+                arcp = jnp.concatenate([arc32, jnp.zeros(budget4, _U32)])
+                payload = jax.lax.dynamic_slice(arcp, (0,), (budget4,))
+                gathered = jax.lax.all_gather(payload, axis)
+
+                def decode_one(a):
+                    F4 = (
+                        pallas_codec_mod.float_archive_u32_bytes(ft, Lw) // 4
+                    )
+                    buf = jnp.zeros(max(F4, budget4), _U32).at[:budget4].set(a)
+                    r = pallas_codec_mod.float_decompress_padded_pallas(
+                        buf, ft, Lw, prob_bits, False
+                    )
+                    pairs = r["out32"]
+                    wout = jax.lax.bitcast_convert_type(
+                        pairs.reshape(-1, 1), jnp.uint16
+                    ).reshape(-1)
+                    return wout[:shard_words]
+
+                return jax.vmap(decode_one)(gathered)
+
             # archive buffer may be smaller than the budget for tiny shards
             arcp = jnp.concatenate([arc, jnp.zeros(budget, jnp.uint8)])
             payload = jax.lax.dynamic_slice(arcp, (0,), (budget,))
