@@ -49,9 +49,10 @@ def float_compress_padded_pallas(
 
     Returns (archive u32 (F//4,), size u32 bytes).
     """
-    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
     static_n = length if isinstance(length, int) else None
     length = jnp.asarray(length, _I32)
+    if float_type == C.FLOAT_TYPE_FLOAT32:
+        return _f32_compress(words, length, static_n, prob_bits, use_checksum)
     if words.dtype == jnp.uint16:
         # slow path: XLA strided packing (prefer passing u32 word-pairs)
         Lw = words.shape[0]
@@ -121,9 +122,13 @@ def float_decompress_padded_pallas(
 ):
     """Decompress a float archive (u32 buffer view).
 
-    Returns dict: out (out_max_words,) u16, size u32 (words), success,
-    checksum_ok.
+    Returns dict: out32 (u16 word-pairs for f16/bf16; u32 words for f32),
+    size u32 (words), success, checksum_ok.
     """
+    if float_type == C.FLOAT_TYPE_FLOAT32:
+        return _f32_decompress(
+            archive32, out_max_words, prob_bits, verify_checksum
+        )
     assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
     assert archive32.dtype in (_U32, _I32)
     Lw = out_max_words
@@ -177,5 +182,110 @@ def float_decompress_padded_pallas(
         from ..ans import layout
 
         actual = checksum_u8(layout.u32_to_u8le(pairs), n_eff * 2)
+        result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+    return result
+
+
+def _f32_compress(words, length, static_n, prob_bits, use_checksum):
+    """f32 two-plane pipeline (GpuFloatUtils.cuh:181-203 layout)."""
+    assert words.dtype in (_U32, _I32)
+    Lw = words.shape[0]
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    n_s = static_n if static_n is not None else length
+
+    valid = jnp.arange(Lw, dtype=_I32) < length
+    wz = jnp.where(valid, words.astype(_U32), _U32(0))
+
+    exp32, lo32, hi32, hist = pf.split_words_pallas_f32(wz)
+    exp32 = exp32[: Lw // 4].astype(_U32)
+    total = pf.split_total_words_f32(Lw)
+    hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
+    pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+
+    ans_arc32, ans_size = penc.ans_encode_padded_pallas(
+        exp32, n_s, prob_bits, use_checksum=False, precomputed_pdf=pdf,
+        return_u32=True,
+    )
+
+    checksum = _U32(0)
+    if use_checksum:
+        from ..ans.checksum import checksum_u8
+        from ..ans import layout
+
+        checksum = checksum_u8(layout.u32_to_u8le(wz), length * 4)
+
+    header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
+    header = header.at[1].set(length.astype(_U32))
+    header = header.at[2].set(
+        _U32((C.FLOAT_TYPE_FLOAT32 & 0xF) | (int(use_checksum) << 4))
+    )
+    header = header.at[3].set(checksum)
+
+    F4 = float_archive_u32_bytes(C.FLOAT_TYPE_FLOAT32, Lw) // 4
+    lo_len32 = C.round_up(n_s, 8) >> 1  # 2*roundUp(n,8) bytes
+    hi_len32 = C.round_up(n_s, 16) >> 2
+    buf = jnp.zeros(F4, _U32)
+    buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+    buf = jax.lax.dynamic_update_slice(buf, lo32[: Lw // 2].astype(_U32), (4,))
+    hi_off = 4 + lo_len32
+    buf = jax.lax.dynamic_update_slice(
+        buf, hi32[: Lw // 4].astype(_U32), (jnp.asarray(hi_off, _I32),)
+    )
+    ans_off = hi_off + hi_len32
+    buf = jax.lax.dynamic_update_slice(
+        buf, ans_arc32, (jnp.asarray(ans_off, _I32),)
+    )
+    size = _U32(16) + jnp.asarray((lo_len32 + hi_len32) * 4, _U32) + ans_size
+    return buf, size
+
+
+def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
+    assert archive32.dtype in (_U32, _I32)
+    Lw = out_max_words
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    arc = archive32.astype(_U32)
+
+    h = arc[:4]
+    magic_ok = h[0] == _U32((C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION)
+    n = h[1].astype(_I32)
+    options = h[2]
+    ft_ok = (options & _U32(0xF)) == _U32(C.FLOAT_TYPE_FLOAT32)
+    has_checksum = (options & _U32(0x10)) != 0
+    stored_checksum = h[3]
+    capacity_ok = n <= Lw
+    n_eff = jnp.clip(n, 0, Lw)
+
+    lo_len32 = C.round_up(n_eff, 8) >> 1
+    hi_len32 = C.round_up(n_eff, 16) >> 2
+    A4 = penc.archive_buffer_bytes_pallas(Lw) // 4
+    arc_pad = jnp.concatenate([arc, jnp.zeros(A4 + Lw, _U32)])
+    ans_arc32 = jax.lax.dynamic_slice(arc_pad, (4 + lo_len32 + hi_len32,), (A4,))
+
+    res = pdec.ans_decode_padded_pallas(
+        ans_arc32, prob_bits, Lw, verify_checksum=False, return_u32=True
+    )
+    exp32 = res["out"]
+    size_ok = res["size"].astype(_I32) == n_eff
+
+    lo32 = jax.lax.dynamic_slice(arc_pad, (4,), (Lw // 2,))
+    hi32 = jax.lax.dynamic_slice(
+        arc_pad, (4 + lo_len32,), (Lw // 4,)
+    )
+    words = pf.join_words_pallas_f32(exp32, lo32, hi32)
+    valid = jnp.arange(Lw, dtype=_I32) < n_eff
+    words = jnp.where(valid, words, _U32(0))
+
+    success = magic_ok & ft_ok & capacity_ok & res["success"] & size_ok
+    result = {
+        "out32": words,  # u32 f32 raw words
+        "size": n.astype(_U32),
+        "success": success,
+        "checksum_ok": jnp.bool_(True),
+    }
+    if verify_checksum:
+        from ..ans.checksum import checksum_u8
+        from ..ans import layout
+
+        actual = checksum_u8(layout.u32_to_u8le(words), n_eff * 4)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result

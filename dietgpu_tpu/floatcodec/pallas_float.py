@@ -240,3 +240,172 @@ def join_words_pallas(exp32: jnp.ndarray, nc32: jnp.ndarray, float_type: int):
     call = _build_join_call(RP, float_type)
     out = call(e.reshape(RP, 128), m.reshape(RP, 128))
     return out.reshape(-1)[: 2 * n4].astype(_U32)
+
+
+# ---------------------------------------------------------------------------
+# float32: rotl-1, exponent byte + two raw planes (GpuFloatUtils.cuh:181-203)
+# ---------------------------------------------------------------------------
+
+
+def _split_kernel_f32(R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref):
+    """in (R,128) u32 words -> exp (R/4,128), lo (R/2,128), hi (R/4,128)."""
+    i = pl.program_id(0)
+    w = in_ref[:]
+    v = (w << 1) | _srl(w, 31)  # rotl32(w, 1)
+    c = _srl(v, 24)  # exponent byte, one per word
+    lo = v & 0xFFFF
+    hi = _srl(v, 16) & 0xFF
+
+    lane4 = jax.lax.broadcasted_iota(_I32, (R // 4, 128), 1)
+    lane2 = jax.lax.broadcasted_iota(_I32, (R // 2, 128), 1)
+
+    def pack4(src):
+        # out[r, l] = src[4k..4k+3], k = 128r + l; word 4k+d sits at input
+        # row 4r + (l >> 5), lane (4*l + d) & 127
+        s4 = src.reshape(R // 4, 4, 128)
+        q = _srl(lane4, 5)  # plane select, independent of d
+        acc = None
+        for d in range(4):
+            il = (4 * lane4 + d) & 127
+            g = _taa(s4[:, 0, :], il)
+            for qq in range(1, 4):
+                g = jnp.where(q == qq, _taa(s4[:, qq, :], il), g)
+            acc = g if acc is None else acc | (g << (8 * d))
+        return acc
+
+    def pack2(src):
+        # out[r, l] = src[2k] | src[2k+1] << 16, k = 128r + l
+        s2 = src.reshape(R // 2, 2, 128)
+        q = _srl(lane2, 6)
+        out = None
+        for d in range(2):
+            il = (2 * lane2 + d) & 127
+            g = jnp.where(
+                q == 0, _taa(s2[:, 0, :], il), _taa(s2[:, 1, :], il)
+            )
+            out = g if out is None else out | (g << 16)
+        return out
+
+    exp_ref[:] = pack4(c)
+    hi_ref[:] = pack4(hi)
+    lo_ref[:] = pack2(lo)
+
+    @pl.when(i == 0)
+    def _():
+        hist_ref[:] = jnp.zeros((2, 128), jnp.float32)
+
+    hrow = jax.lax.broadcasted_iota(_I32, (2, 128), 0)
+    hcol = jax.lax.broadcasted_iota(_I32, (2, 128), 1)
+    acc = jnp.zeros((2, 128), jnp.float32)
+    for s in range(C.NUM_SYMBOLS):
+        cnt = jnp.sum((c == s).astype(jnp.float32))
+        acc = acc + jnp.where((hrow == (s >> 7)) & (hcol == (s & 127)), cnt, 0.0)
+    hist_ref[:] = hist_ref[:] + acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build_split_call_f32(RP: int):
+    T = SPLIT_TILE
+    grid = RP // T
+    kernel = functools.partial(_split_kernel_f32, T)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((RP // 4, 128), _I32),
+            jax.ShapeDtypeStruct((RP // 2, 128), _I32),
+            jax.ShapeDtypeStruct((RP // 4, 128), _I32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((T // 4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T // 2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T // 4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+
+def split_total_words_f32(Lw: int) -> int:
+    RP = C.round_up(max(C.div_up(Lw, 128), SPLIT_TILE), SPLIT_TILE)
+    return RP * 128
+
+
+def split_words_pallas_f32(words: jnp.ndarray):
+    """(Lw,) u32 f32 words -> (exp32, lo32, hi32, hist256)."""
+    Lw = words.shape[0]
+    RP = C.round_up(max(C.div_up(Lw, 128), SPLIT_TILE), SPLIT_TILE)
+    x = jnp.zeros(RP * 128, _I32).at[:Lw].set(words.astype(_I32))
+    call = _build_split_call_f32(RP)
+    exp32, lo32, hi32, hist = call(x.reshape(RP, 128))
+    return (
+        exp32.reshape(-1),
+        lo32.reshape(-1),
+        hi32.reshape(-1),
+        hist.reshape(256).astype(_U32),
+    )
+
+
+def _join_kernel_f32(R: int, exp_ref, lo_ref, hi_ref, out_ref):
+    """exp/hi (R/4,128) + lo (R/2,128) packed -> out (R,128) u32 words."""
+    lane = jax.lax.broadcasted_iota(_I32, (R // 4, 128), 1)
+    exp = exp_ref[:]
+    hi = hi_ref[:]
+    lo = lo_ref[:]
+    lo2 = lo.reshape(R // 4, 2, 128)
+
+    outs = []
+    for j in range(4):  # output sub-row j of each 4-row group
+        # word k = 128*(4g+j) + l: byte index k in exp/hi: u32 32*(4g+j)+l>>2
+        # = row g, lane 32*j + (l>>2); u16 index k in lo: u32 k>>1 = row
+        # 2g + (j>>1), lane 64*(j&1) + (l>>1)
+        bidx = 32 * j + _srl(lane, 2)
+        sh = (lane & 3) << 3
+        cb = _srl(_taa(exp, bidx), sh) & 0xFF
+        hb = _srl(_taa(hi, bidx), sh) & 0xFF
+        lidx = 64 * (j & 1) + _srl(lane, 1)
+        lg = _taa(lo2[:, j >> 1, :], lidx)
+        lw = _srl(lg, (lane & 1) << 4) & 0xFFFF
+        v = (cb << 24) | (hb << 16) | lw
+        w = _srl(v, 1) | (v << 31)  # rotr32(v, 1)
+        outs.append(w)
+    out = jnp.stack(outs, axis=1).reshape(R, 128)
+    out_ref[:] = out
+
+
+@functools.lru_cache(maxsize=None)
+def _build_join_call_f32(RP4: int):
+    T4 = SPLIT_TILE // 4
+    grid = RP4 // T4
+    kernel = functools.partial(_join_kernel_f32, 4 * T4)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4 * RP4, 128), _I32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((T4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * T4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * T4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+
+def join_words_pallas_f32(exp32, lo32, hi32):
+    """packed exp/lo/hi planes -> (Lw,) u32 f32 words (Lw = 4*len(exp32))."""
+    n4 = exp32.shape[0]
+    T4 = SPLIT_TILE // 4
+    RP4 = C.round_up(max(C.div_up(n4, 128), T4), T4)
+    e = jnp.zeros(RP4 * 128, _I32).at[:n4].set(exp32.astype(_I32))
+    h = jnp.zeros(RP4 * 128, _I32).at[:n4].set(hi32.astype(_I32))
+    lo = jnp.zeros(2 * RP4 * 128, _I32).at[: 2 * n4].set(lo32.astype(_I32))
+    call = _build_join_call_f32(RP4)
+    out = call(
+        e.reshape(RP4, 128), lo.reshape(2 * RP4, 128), h.reshape(RP4, 128)
+    )
+    return out.reshape(-1)[: 4 * n4].astype(_U32)
