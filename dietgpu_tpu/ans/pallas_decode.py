@@ -209,7 +209,9 @@ def _decode_kernel(
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         chunk_acc = zeros
         for g in range(CHUNK // GROUP - 1, -1, -1):
-            win, base = refill(pos, None, None)
+            # the 256-word window covers two 4-step groups; refill on odd g
+            if g % 2 == 1:
+                win, base = refill(pos, None, None)
             syms = [None] * GROUP
             for d in range(GROUP - 1, -1, -1):
                 kk = cc * CHUNK + 4 * g + d
