@@ -51,20 +51,31 @@ def main():
     sizes_m = [1, 16, 64] if quick else [1, 4, 16, 64, 128]
 
     # ---- float codec sweep ----
-    for ft, name in ((C.FLOAT_TYPE_BFLOAT16, "bf16"), (C.FLOAT_TYPE_FLOAT16, "f16")):
+    for ft, name in (
+        (C.FLOAT_TYPE_BFLOAT16, "bf16"),
+        (C.FLOAT_TYPE_FLOAT16, "f16"),
+        (C.FLOAT_TYPE_FLOAT32, "f32"),
+    ):
+        wordsize = C.float_word_size(ft)
         for m in sizes_m:
             n = m << 20
             Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
-            raw = 2 * n
+            raw = wordsize * n
             words = []
             for k in range(K):
                 x = rng.standard_normal(Lw).astype(np.float32)
                 if ft == C.FLOAT_TYPE_BFLOAT16:
                     w = (x.view(np.uint32) >> 16).astype(np.uint16)
-                else:
+                    w[n:] = 0
+                    w = w.view(np.uint32)
+                elif ft == C.FLOAT_TYPE_FLOAT16:
                     w = x.astype(np.float16).view(np.uint16)
-                w[n:] = 0
-                words.append(jnp.asarray(w.view(np.uint32)))
+                    w[n:] = 0
+                    w = w.view(np.uint32)
+                else:
+                    w = x.view(np.uint32).copy()
+                    w[n:] = 0
+                words.append(jnp.asarray(w))
             compress = jax.jit(
                 lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
             )
