@@ -41,7 +41,9 @@ def main():
 
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "64"))
-    iters = int(os.environ.get("DIETGPU_BENCH_ITERS", "6"))
+    # the tunnel's 1-element readback costs ~34 ms FIXED; enough iterations
+    # amortize it below the noise floor (chained-dispatch timing otherwise)
+    iters = int(os.environ.get("DIETGPU_BENCH_ITERS", "48"))
     n = mwords * 1024 * 1024
     Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
     ft = C.FLOAT_TYPE_BFLOAT16

@@ -160,7 +160,7 @@ def ans_encode_padded(
     )
     return assemble_archive(
         L, pdf, states, words, compacted, length, nb, prob_bits, use_checksum,
-        data=data,
+        data=data, overflow=jnp.any(words > MW),
     )
 
 
@@ -176,12 +176,16 @@ def assemble_archive(
     use_checksum: bool,
     data=None,
     checksum=None,
+    overflow=None,
 ):
     """Assemble the coalesced archive from per-block encoder results.
 
     Shared epilogue for the XLA and Pallas encoders. `states` is (NB, 32)
     u32 final lane states, `words` (NB,) i32 per-block compressed word
-    counts, `compacted` (NB, MW) u32-held-u16 dense streams.
+    counts, `compacted` (NB, MW) u32-held-u16 dense streams. A true
+    `overflow` flag (block payload > MAX_COMP_WORDS_PER_BLOCK; the reference
+    device-asserts, GpuANSEncode.cuh:355-360) sets SIZE_OVERFLOW_BIT in the
+    returned size — the archive is invalid in that case.
     """
     NB = L // C.DEFAULT_BLOCK_SIZE
     MW = C.MAX_COMP_WORDS_PER_BLOCK
@@ -256,4 +260,6 @@ def assemble_archive(
 
     archive = layout.u32_to_u8le(buf)
     size = (data_start + total_words // 2).astype(_U32) * 4
+    if overflow is not None:
+        size = jnp.where(overflow, size | _U32(C.SIZE_OVERFLOW_BIT), size)
     return archive, size

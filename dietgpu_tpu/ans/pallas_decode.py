@@ -1,9 +1,12 @@
-"""Pallas TPU rANS decoder — the hot decode loop as a Mosaic kernel.
+"""Pallas TPU rANS decoder — dense-layout Mosaic kernel for the hot loop.
 
 TPU-native redesign of the reference decode kernel (GpuANSDecode.cuh:305-403).
-Layout: a grid of block tiles; each tile holds T blocks, one block per
-sublane row, the 32 interleaved rANS states in lanes 0..31 (the "warp" of
-GpuANSUtils.cuh:62-65 mapped onto VPU lanes).
+
+Dense layout (round 2): each sublane row carries FOUR blocks — the 32
+interleaved rANS states of block ``4*row + g`` live in lanes ``32g..32g+31``
+(the "warp" of GpuANSUtils.cuh:62-65 mapped onto VPU lane groups). Every
+ALU phase therefore runs with all 128 lanes active, 4x the useful work per
+vector op of the round-1 one-block-per-row layout.
 
 Data movement (the part XLA gathers do ~1000x too slowly on TPU) happens
 in-kernel:
@@ -11,17 +14,18 @@ in-kernel:
     archive (HBM) into VMEM — block payloads are prefix-ordered so a tile's
     streams are contiguous (GpuANSUtils.cuh:219-224);
   * a short scalar loop realigns each block's stream to an 11-row window at
-    512-byte granularity; the residual sub-row offset is folded into the
-    read-index arithmetic (no data rotation).
+    512-byte granularity (one window buffer per lane group); the residual
+    sub-row offset is folded into the read-index arithmetic.
 
 Per decode step the kernel does: two-level symbol lookup via lane-wise
-`tpu.dynamic_gather` (2^probBits u8 symbols packed 4/i32, then pdf|cdf<<12 by
-symbol), the rANS state update, and the backwards u16 stream reads
-(GpuANSDecode.cuh:91-104) from a 256-word register window refilled once per
-4 steps by a dynamically-bounded page loop. The warp ballot/popc suffix rank
-is one MXU matmul against a constant suffix-sum matrix. Output bytes are
-packed 4-per-i32 with two MXU matmuls per 4 steps, yielding rows that are
-the natural little-endian byte stream.
+`tpu.dynamic_gather` (2^probBits u8 symbols packed 4/i32, then pdf|cdf<<12
+by symbol), the rANS state update, and the backwards u16 stream reads
+(GpuANSDecode.cuh:91-104) from per-group 256-word register windows refilled
+once per 8 steps by dynamically-bounded page loops. The warp ballot/popc
+suffix rank is one MXU matmul against a constant block-diagonal suffix-sum
+matrix (4 independent 32-lane groups). Output bytes are packed 4-per-i32
+with eight MXU matmuls per 4 steps (one lo/hi pair per sub-step, each a
+block-diagonal placement matrix), then rotated into block-contiguous rows.
 
 Everything stays int32: rANS states are < 2^31 (GpuANSUtils.cuh:41) so all
 arithmetic is sign-safe; shifts that need unsigned semantics use
@@ -47,8 +51,9 @@ S = C.STEPS_PER_BLOCK  # 128 steps of 32 symbols per block
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560 u16 words
 ROWS_PER_BLOCK = MW // 256 + 1  # 11 x (128 u32) rows cover a misaligned stream
-CHUNK = 16  # steps per output chunk (16*32 = 512 bytes)
+CHUNK = 16  # steps per output chunk (16*32 = 512 bytes per block)
 GROUP = 4  # steps per window refill / output pack group
+BPR = 4  # blocks per sublane row (dense layout)
 
 
 def _taa(tab, idx):
@@ -61,37 +66,39 @@ def _srl(x, s):
 
 @functools.lru_cache(maxsize=None)
 def _pack_matrices():
-    """(128,128) bf16 matrices turning 4 steps' symbols into packed u32 lanes.
+    """(4,128,128) f32 matrix pairs packing one step's symbols into u32 lanes.
 
-    Input lane j = 32*d + w (sub-step d, rANS lane w) maps to output lane
-    8*d + w//4, byte w%4. lo covers bytes 0/1, hi bytes 2/3 (each result
-    < 2^16, exact in f32).
+    For sub-step d (of a 4-step group), input lane 32g + w (lane group g,
+    rANS lane w) maps to output lane 32g + 8d + w//4, byte w%4. lo covers
+    bytes 0/1, hi bytes 2/3 (each accumulated value < 2^16, exact in f32).
     """
-    plo = np.zeros((128, 128), np.float32)
-    phi = np.zeros((128, 128), np.float32)
+    plo = np.zeros((4, 128, 128), np.float32)
+    phi = np.zeros((4, 128, 128), np.float32)
     for d in range(4):
-        for w in range(32):
-            j = 32 * d + w
-            lg = 8 * d + w // 4
-            b = w % 4
-            if b == 0:
-                plo[j, lg] = 1.0
-            elif b == 1:
-                plo[j, lg] = 256.0
-            elif b == 2:
-                phi[j, lg] = 1.0
-            else:
-                phi[j, lg] = 256.0
-    return plo.astype(np.float32), phi.astype(np.float32)
+        for g in range(BPR):
+            for w in range(32):
+                src = 32 * g + w
+                dst = 32 * g + 8 * d + w // 4
+                b = w % 4
+                if b == 0:
+                    plo[d, src, dst] = 1.0
+                elif b == 1:
+                    plo[d, src, dst] = 256.0
+                elif b == 2:
+                    phi[d, src, dst] = 1.0
+                else:
+                    phi[d, src, dst] = 256.0
+    return plo, phi
 
 
 @functools.lru_cache(maxsize=None)
 def _suffix_matrix():
-    """(128,128) bf16: rank[w] = sum_{w' >= w, w' < 32} read[w'] via MXU."""
+    """(128,128) block-diag: rank[32g+l] = sum_{w >= l} read[32g+w] via MXU."""
     m = np.zeros((128, 128), np.float32)
-    for j in range(32):
-        for l in range(j + 1):
-            m[j, l] = 1.0  # contribution of lane j to rank at lane l <= j
+    for g in range(BPR):
+        for j in range(32):
+            for l in range(j + 1):
+                m[32 * g + j, 32 * g + l] = 1.0
     return m
 
 
@@ -100,25 +107,32 @@ def _decode_kernel(
     T: int,
     tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA start
     lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
-    meta_ref,  # VMEM (T,128): lane0 steps, lane1 rem, lane2 cwords, lane3 off32
-    states_ref,  # VMEM (T,128)
+    meta_ref,  # VMEM (T,128): per group g lanes 32g+0..3 =
+    #            (steps, rem, cwords, off32) of block 4*row+g
+    states_ref,  # VMEM (T,128): lanes 32g..32g+31 = states of block 4*row+g
     symtab_ref,
     pdfcdf_ref,
-    plo_ref,
-    phi_ref,
-    suf_ref,
+    plo_ref,  # VMEM (4,128,128) bf16
+    phi_ref,  # VMEM (4,128,128) bf16
+    suf_ref,  # VMEM (128,128) bf16 block-diagonal suffix matrix
     arc_ref,  # ANY (XR,128) u32 archive rows
-    out_ref,  # VMEM (T, 8, 128)
+    out_ref,  # VMEM (T, 32, 128): rows 8g..8g+7 = chunks of block 4*row+g
     tilebuf,  # scratch (RT,128) i32
-    streams,  # scratch (T, ROWS_PER_BLOCK, 128) i32
+    st0,  # scratch (T, ROWS_PER_BLOCK, 128) i32, group-0 streams
+    st1,
+    st2,
+    st3,
     dma_sem,
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
-    RT = T * (MW // 256) + 24  # DMA row counts must be 8-aligned
+    RT = BPR * T * (MW // 256) + 48  # DMA row counts must be 8-aligned
 
     i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(_I32, (T, 128), 1)
+    lane31 = lane & 31
+    gid = _srl(lane, 5)  # lane group 0..3
+    gbase = lane & ~31
     zeros = jnp.zeros((T, 128), _I32)
 
     # ---- tile-range DMA + per-block realign ----
@@ -128,17 +142,21 @@ def _decode_kernel(
     dma.start()
     dma.wait()
 
-    def realign(b, _):
-        streams[b] = tilebuf[pl.ds(lrow_ref[i * T + b], ROWS_PER_BLOCK), :]
+    streams = (st0, st1, st2, st3)
+
+    def realign(r, _):
+        b0 = i * (BPR * T) + BPR * r
+        for g in range(BPR):
+            streams[g][r] = tilebuf[pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :]
         return 0
 
     jax.lax.fori_loop(0, T, realign, 0, unroll=False)
 
     meta = meta_ref[:]
-    steps = _taa(meta, zeros)
-    rem = _taa(meta, zeros + 1)
-    cwords = _taa(meta, zeros + 2)
-    off32 = _taa(meta, zeros + 3)
+    steps = _taa(meta, gbase)
+    rem = _taa(meta, gbase | 1)
+    cwords = _taa(meta, gbase | 2)
+    off32 = _taa(meta, gbase | 3)
 
     symtab = [
         jnp.broadcast_to(symtab_ref[r : r + 1, :], (T, 128)) for r in range(SR)
@@ -146,14 +164,14 @@ def _decode_kernel(
     pdfcdf = [
         jnp.broadcast_to(pdfcdf_ref[r : r + 1, :], (T, 128)) for r in range(2)
     ]
-    plo = plo_ref[:]
-    phi = phi_ref[:]
+    plo = [plo_ref[d] for d in range(4)]
+    phi = [phi_ref[d] for d in range(4)]
     suf = suf_ref[:]
 
-    def one_step(kk, state, pos, win, base):
+    def one_step(kk, state, pos, wins, base):
         is_tail = kk == steps - 1
         limit = jnp.where(is_tail & (rem > 0), rem, 32)
-        act = (kk < steps) & (lane < limit)
+        act = (kk < steps) & (lane31 < limit)
 
         s_bar = state & (K - 1)
         q = _srl(s_bar, 2)
@@ -177,74 +195,98 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32,
             )
         ).astype(_I32)
-        cnt = _taa(rank, zeros)  # lane 0 = total readers
+        cnt = _taa(rank, gbase)  # group base lane = total readers in group
 
         rj = pos - rank  # u16-word index of each reader (backwards stream)
-        widx = off32 + _srl(rj, 1) - base
-        v32 = _taa(win, widx & 127)
+        widx = (off32 + _srl(rj, 1) - base) & 127
+        v32 = _taa(wins[0], widx)
+        for gg in range(1, BPR):
+            v32 = jnp.where(gid == gg, _taa(wins[gg], widx), v32)
         v16 = _srl(v32, (rj & 1) << 4) & 0xFFFF
 
         state2 = jnp.where(read, (state1 << 16) | v16, state1)
         pos = pos - cnt
         return jnp.where(act, sym, 0), state2, pos
 
-    def refill(pos, _win, _base):
-        """256-u16-word register window covering the next 4 steps' reads."""
+    def refill(pos):
+        """Per-group 256-u16-word windows covering the next 8 steps' reads."""
         hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
         base = jnp.maximum(hi - 127, 0)
-        g0 = base + lane
-        pg = _srl(g0, 7)
-        li = g0 & 127
-        lop = jnp.min(base) >> 7
-        hip = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
+        wins = []
+        for gg in range(BPR):
+            bg = _taa(base, zeros + 32 * gg)
+            hg = _taa(hi, zeros + 32 * gg)
+            g0 = bg + lane
+            pg = _srl(g0, 7)
+            li = g0 & 127
+            lop = jnp.min(bg) >> 7
+            hip = jnp.minimum(jnp.max(hg) >> 7, ROWS_PER_BLOCK - 1)
+            sref = streams[gg]
 
-        def page_body(p, acc):
-            return jnp.where(pg == p, _taa(streams[:, p, :], li), acc)
+            def page_body(p, acc):
+                return jnp.where(pg == p, _taa(sref[:, p, :], li), acc)
 
-        win = jax.lax.fori_loop(lop, hip + 1, page_body, zeros)
-        return win, base
+            wins.append(jax.lax.fori_loop(lop, hip + 1, page_body, zeros))
+        return tuple(wins), base
 
     def chunk_body(c, carry):
-        state, pos = carry
+        state, pos, w0, w1, w2, w3, base = carry
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
-        chunk_acc = zeros
-        for g in range(CHUNK // GROUP - 1, -1, -1):
-            # the 256-word window covers two 4-step groups; refill on odd g
-            if g % 2 == 1:
-                win, base = refill(pos, None, None)
+        packs = [None] * (CHUNK // GROUP)
+        for m in range(CHUNK // GROUP - 1, -1, -1):
+            # each per-group window covers two 4-step groups; refill on odd m
+            if m % 2 == 1:
+                (w0, w1, w2, w3), base = refill(pos)
+            wins = (w0, w1, w2, w3)
             syms = [None] * GROUP
             for d in range(GROUP - 1, -1, -1):
-                kk = cc * CHUNK + 4 * g + d
-                syms[d], state, pos = one_step(kk, state, pos, win, base)
-            combined = syms[0]
-            for d in range(1, GROUP):
-                combined = combined | pltpu.roll(syms[d], 32 * d, 1)
-            cb = combined.astype(jnp.bfloat16)
-            lo = jax.lax.dot_general(
-                cb, plo, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(_I32)
-            hi = jax.lax.dot_general(
-                cb, phi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(_I32)
-            packed = lo | (hi << 16)  # 32 packed u32s in lanes 0..31
-            placed = pltpu.roll(packed, 32 * g, 1)
-            chunk_acc = jnp.where(_srl(lane, 5) == g, placed, chunk_acc)
-        out_ref[:, cc, :] = chunk_acc
-        return state, pos
+                kk = cc * CHUNK + GROUP * m + d
+                syms[d], state, pos = one_step(kk, state, pos, wins, base)
+            lo = None
+            hi = None
+            for d in range(GROUP):
+                sb = syms[d].astype(jnp.bfloat16)
+                ld = jax.lax.dot_general(
+                    sb, plo[d], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hd = jax.lax.dot_general(
+                    sb, phi[d], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                lo = ld if lo is None else lo + ld
+                hi = hd if hi is None else hi + hd
+            packs[m] = lo.astype(_I32) | (hi.astype(_I32) << 16)
+        # rotate group-local u32 runs into block-contiguous output rows:
+        # block (row, g) chunk word u = 32m + w' comes from packs[m] lane
+        # 32g + w'
+        for g in range(BPR):
+            row = None
+            for m in range(CHUNK // GROUP):
+                piece = pltpu.roll(packs[m], (32 * (m - g)) % 128, 1)
+                piece = jnp.where(gid == m, piece, 0)
+                row = piece if row is None else row | piece
+            out_ref[:, 8 * g + cc, :] = row
+        return state, pos, w0, w1, w2, w3, base
 
-    jax.lax.fori_loop(
-        0, S // CHUNK, chunk_body, (states_ref[:], cwords)
+    init = (
+        states_ref[:],
+        cwords,
+        zeros,
+        zeros,
+        zeros,
+        zeros,
+        zeros,
     )
+    jax.lax.fori_loop(0, S // CHUNK, chunk_body, init)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
-    grid = NBp // T
-    RT = T * (MW // 256) + 24
+    grid = NBp // (BPR * T)
+    RT = BPR * T * (MW // 256) + 48
 
     kernel = functools.partial(_decode_kernel, prob_bits, T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -255,24 +297,33 @@ def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int):
             pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (T, S // CHUNK, 128), lambda i, *_: (i, 0, 0),
+            (T, S // CHUNK * BPR, 128), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((RT, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
             pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NBp, S // CHUNK, 128), _I32),
+        out_shape=jax.ShapeDtypeStruct(
+            (NBp // BPR, S // CHUNK * BPR, 128), _I32
+        ),
         grid_spec=grid_spec,
     )
 
@@ -307,19 +358,28 @@ def ans_decode_padded_pallas(
     verify_checksum: bool = False,
     block_tile: int = 256,
     return_u32: bool = False,
+    arc_base=None,
+    arc_base_bound: int = 0,
 ):
     """Pallas-backed drop-in for ans_decode_padded (same contract).
 
     With return_u32=True, `out` is the decoded byte stream packed
     little-endian 4 bytes per u32 (shape (out_max//4,)) — the layout the
-    float codec consumes directly.
+    float codec consumes directly. `block_tile` is the number of 4096-byte
+    blocks per grid step (a multiple of 32; 4 blocks ride each sublane row).
+
+    `arc_base` (dynamic u32-word offset, default 0) decodes an ANS archive
+    embedded inside a larger u32 buffer IN PLACE — no slice copy; the float
+    codec uses this to decode straight out of its container. The caller must
+    supply the static bound `arc_base_bound >= max possible arc_base`.
     """
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     NB = out_max // C.DEFAULT_BLOCK_SIZE
-    T = min(block_tile, max(8, NB))
-    while T % 8 != 0:
-        T += 1
-    NBp = C.round_up(NB, T)
+    T = max(8, min(block_tile, C.round_up(NB, BPR)) // BPR)  # sublane rows
+    T = C.round_up(T, 8)
+    NBp = C.round_up(NB, BPR * T)
+    NR = NBp // BPR
+    RT = BPR * T * (MW // 256) + 48
 
     if archive.dtype == jnp.uint8:
         arc32 = layout.u8_to_u32le(archive)
@@ -327,8 +387,14 @@ def ans_decode_padded_pallas(
         assert archive.dtype in (_U32, jnp.int32)
         arc32 = archive.astype(_U32)
     A32 = arc32.shape[0]
+    base = jnp.asarray(0 if arc_base is None else arc_base, _I32)
 
-    h = arc32[:8]
+    # fast path: the buffer itself is row-shaped and long enough that every
+    # section slice and the tile DMA stay in bounds — zero padding copies
+    sect_end = arc_base_bound + 136 + NBp * W + 2 * NBp + 2
+    fast = A32 % 128 == 0 and A32 // 128 >= RT and A32 >= sect_end
+
+    h = jax.lax.dynamic_slice(arc32, (base,), (8,))
     magic_ok = h[0] == _U32((C.ANS_MAGIC << 16) | C.ANS_VERSION)
     nb = h[1].astype(_I32)
     n = h[2].astype(_I32)
@@ -340,16 +406,21 @@ def ans_decode_padded_pallas(
     success = magic_ok & pb_ok & capacity_ok
     nb_eff = jnp.clip(nb, 0, NB)
 
-    pw = arc32[8:136]
+    pw = jax.lax.dynamic_slice(arc32, (base + 8,), (128,))
     pdf = jnp.zeros(C.NUM_SYMBOLS, _U32)
     pdf = pdf.at[0::2].set(pw & _U32(0xFFFF)).at[1::2].set(pw >> _U32(16))
     symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
 
     bidx = jnp.arange(NBp, dtype=_I32)
     live = bidx < nb_eff
-    bw_start = 136 + nb_eff * W
+    bw_start = base + 136 + nb_eff * W
     # blockWords is a contiguous section: one dynamic slice, no gathers
-    arc_ext = jnp.concatenate([arc32, jnp.zeros(2 * NBp + 2, _U32)])
+    if fast:
+        arc_ext = arc32
+    else:
+        arc_ext = jnp.concatenate(
+            [arc32, jnp.zeros(arc_base_bound + NBp * 34 + 140, _U32)]
+        )
     bw_flat = jax.lax.dynamic_slice(
         arc_ext, (bw_start,), (2 * NBp + 2,)
     )
@@ -369,36 +440,39 @@ def ans_decode_padded_pallas(
     row0 = s32 >> 7  # s32 is non-negative i32, arithmetic shift is fine
     off32 = s32 & 127
 
-    meta = jnp.zeros((NBp, 128), _I32)
-    meta = (
-        meta.at[:, 0]
-        .set(steps)
-        .at[:, 1]
-        .set(remainder)
-        .at[:, 2]
-        .set(cwords)
-        .at[:, 3]
-        .set(off32)
+    # dense meta: lanes 32g+0..3 of row r = fields of block 4r+g
+    meta3 = jnp.zeros((NR, BPR, W), _I32)
+    meta3 = (
+        meta3.at[:, :, 0]
+        .set(steps.reshape(NR, BPR))
+        .at[:, :, 1]
+        .set(remainder.reshape(NR, BPR))
+        .at[:, :, 2]
+        .set(cwords.reshape(NR, BPR))
+        .at[:, :, 3]
+        .set(off32.reshape(NR, BPR))
     )
+    meta = meta3.reshape(NR, 128)
 
-    # states is a contiguous section at a static offset: slice + reshape
-    st_flat = jax.lax.dynamic_slice(
-        jnp.concatenate([arc32, jnp.zeros(NBp * W + 136, _U32)]),
-        (136,), (NBp * W,),
-    )
+    # states is a contiguous section; slice + reshape — dense layout: row r
+    # lanes 32g..32g+31 = block 4r+g states
+    st_flat = jax.lax.dynamic_slice(arc_ext, (base + 136,), (NBp * W,))
     states = st_flat.reshape(NBp, W)
     states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
-    states128 = jnp.zeros((NBp, 128), _I32)
-    states128 = states128.at[:, :W].set(states.astype(_I32))
+    states128 = states.astype(_I32).reshape(NR, 128)
 
-    # tile geometry + archive padding for the tile-range DMA
-    RT = T * (MW // 256) + 24
-    ntiles = NBp // T
-    tile_row0 = row0[0::T] & ~7  # 8-row-aligned DMA sources
-    lrow = jnp.clip(row0 - jnp.repeat(tile_row0, T), 0, RT - ROWS_PER_BLOCK)
-    need_rows = int(C.div_up(A32, 128)) + RT + 1
-    arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
-    arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
+    # tile geometry for the tile-range DMA (in-place on the fast path)
+    tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
+    lrow = jnp.clip(
+        row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
+    )
+    if fast:
+        need_rows = A32 // 128
+        arc_rows = arc32.astype(_I32).reshape(need_rows, 128)
+    else:
+        need_rows = int(C.div_up(A32, 128)) + RT + 1
+        arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
+        arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
     tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
 
     plo_np, phi_np = _pack_matrices()

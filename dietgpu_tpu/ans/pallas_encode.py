@@ -155,9 +155,11 @@ def _encode_kernel(
         win_hi = jnp.where(hit & (lane < fill), val, win_hi)
         fill = fill + cnt
 
-        # flush full windows to the paged staging buffer
+        # flush full windows to the paged staging buffer; clamp the page on
+        # block overflow (> MW words) so the store stays in bounds — the
+        # overflow is flagged in the returned size (GpuANSEncode.cuh:355-360)
         flushing = fill >= 128
-        pg = jnp.where(flushing, _srl(base, 7), -1)
+        pg = jnp.where(flushing, jnp.minimum(_srl(base, 7), PAGES - 1), -1)
         any_flush = jnp.max(pg)
 
         @pl.when(any_flush >= 0)
@@ -195,7 +197,7 @@ def _encode_kernel(
     )
 
     # final flush of the partial window (lanes >= fill already zero)
-    pg = jnp.where(fill > 0, _srl(base, 7), -1)
+    pg = jnp.where(fill > 0, jnp.minimum(_srl(base, 7), PAGES - 1), -1)
     hi_p = jnp.max(pg)
 
     @pl.when(hi_p >= 0)
@@ -468,6 +470,8 @@ def _encode_stage2(
     )
 
     size = ((ds32 + total_words // 2) * 4).astype(_U32)
+    overflow = jnp.any(words > C.MAX_COMP_WORDS_PER_BLOCK)
+    size = jnp.where(overflow, size | _U32(C.SIZE_OVERFLOW_BIT), size)
     return arc, trow, srow, dloc, drot, seed, prow0, size
 
 
@@ -507,9 +511,11 @@ def ans_encode_padded_pallas(
     else:
         hist = precomputed_histogram
         if hist is None:
-            if data_u8 is None:
-                data_u8 = layout.u32_to_u8le(data32.astype(_U32))
-            hist = stats.histogram_u8(data_u8, length)
+            # MXU histogram kernel (GpuANSStatistics.cuh:21-143 analogue);
+            # XLA scatter-add runs ~0.1 GB/s on TPU
+            from . import pallas_hist
+
+            hist = pallas_hist.histogram_u8_pallas(data32, length)
         pdf = stats.normalize_probs(
             hist, jnp.asarray(length, _I32).astype(_U32), prob_bits
         )

@@ -168,7 +168,11 @@ def compress_data(
     """Compress a batch of arrays.
 
     Returns (comp u8 (B, bufsize), sizes i32 (B,), temp_mem_used int).
-    Row b's archive occupies comp[b, :sizes[b]].
+    Row b's archive occupies comp[b, :sizes[b]]. A negative sizes[b]
+    (C.SIZE_OVERFLOW_BIT set) marks a per-block payload overflow — the
+    reference device-asserts there (GpuANSEncode.cuh:355-360); that row's
+    archive is invalid. Only adversarial inputs at probBits 10/11 can
+    trigger this (a 4 KiB block made of weight-1 symbols).
     """
     if len(ts_in) == 0:
         raise ValueError("empty batch")
@@ -206,9 +210,15 @@ def compress_data_simple(
     prob_bits: int = C.DEFAULT_PROB_BITS,
 ):
     """Convenience tier: returns a list of exactly-sized archive arrays
-    (device->host sync for the sizes, like the reference's _simple ops)."""
+    (device->host sync for the sizes, like the reference's _simple ops).
+    Raises OverflowError if any element hit the per-block payload bound."""
     comp, sizes, _ = compress_data(compress_as_float, ts_in, checksum, prob_bits)
     sizes_h = np.asarray(jax.device_get(sizes))
+    if (sizes_h < 0).any():
+        bad = np.nonzero(sizes_h < 0)[0].tolist()
+        raise OverflowError(
+            f"compressed block payload overflow in batch elements {bad}"
+        )
     comp_h = jax.device_get(comp)
     return [jnp.asarray(comp_h[i, : sizes_h[i]]) for i in range(len(ts_in))]
 

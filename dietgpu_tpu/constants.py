@@ -81,6 +81,11 @@ def raw_comp_block_max_size(uncompressed_block_bytes: int) -> int:
 # Max u16 words per compressed 4 KiB block payload region
 MAX_COMP_WORDS_PER_BLOCK = raw_comp_block_max_size(DEFAULT_BLOCK_SIZE) // 2  # 2560
 
+# Encoders set this bit in the returned size when a block's payload exceeds
+# MAX_COMP_WORDS_PER_BLOCK (the reference device-asserts instead,
+# GpuANSEncode.cuh:355-360); the archive is then invalid.
+SIZE_OVERFLOW_BIT = 1 << 31
+
 
 def compressed_overhead(num_blocks: int) -> int:
     """Archive bytes before the compressed payload (GpuANSUtils.cuh:68-81)."""

@@ -26,11 +26,16 @@ _U32 = jnp.uint32
 
 
 def float_archive_u32_bytes(float_type: int, padded_words: int) -> int:
-    """Static u32 archive buffer size (bytes) for the Pallas float codec."""
-    return (
+    """Static u32 archive buffer size (bytes) for the Pallas float codec.
+
+    512-byte-rounded so the decoder's in-place tile DMA can treat the whole
+    buffer as (rows, 128) u32 without a padding copy.
+    """
+    return C.round_up(
         C.FLOAT_HEADER_BYTES
         + C.float_noncomp_bytes(float_type, padded_words)
-        + penc.archive_buffer_bytes_pallas(padded_words)
+        + penc.archive_buffer_bytes_pallas(padded_words),
+        512,
     )
 
 
@@ -147,18 +152,17 @@ def float_decompress_padded_pallas(
 
     plane32 = C.round_up(n_eff, 16) >> 2
     ans_off = 4 + plane32
-    A4 = penc.archive_buffer_bytes_pallas(Lw) // 4
-    arc_pad = jnp.concatenate([arc, jnp.zeros(A4 + 4, _U32)])
-    ans_arc32 = jax.lax.dynamic_slice(arc_pad, (ans_off,), (A4,))
 
+    # decode the embedded ANS archive IN PLACE (arc_base) — no slice copy
     res = pdec.ans_decode_padded_pallas(
-        ans_arc32, prob_bits, Lw, verify_checksum=False, return_u32=True
+        arc, prob_bits, Lw, verify_checksum=False, return_u32=True,
+        arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
     )
     exp32 = res["out"]
     ans_n = res["size"].astype(_I32)
     size_ok = ans_n == n_eff
 
-    nc32 = jax.lax.dynamic_slice(arc_pad, (4,), (Lw // 4,))
+    nc32 = jax.lax.dynamic_slice(arc, (4,), (Lw // 4,))
     pairs = pf.join_words_pallas(exp32, nc32, float_type)
 
     # mask everything past n: zero the tail pair half-word too
@@ -257,19 +261,18 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
 
     lo_len32 = C.round_up(n_eff, 8) >> 1
     hi_len32 = C.round_up(n_eff, 16) >> 2
-    A4 = penc.archive_buffer_bytes_pallas(Lw) // 4
-    arc_pad = jnp.concatenate([arc, jnp.zeros(A4 + Lw, _U32)])
-    ans_arc32 = jax.lax.dynamic_slice(arc_pad, (4 + lo_len32 + hi_len32,), (A4,))
+    base_bound = 4 + (C.round_up(Lw, 8) >> 1) + (C.round_up(Lw, 16) >> 2)
 
     res = pdec.ans_decode_padded_pallas(
-        ans_arc32, prob_bits, Lw, verify_checksum=False, return_u32=True
+        arc, prob_bits, Lw, verify_checksum=False, return_u32=True,
+        arc_base=4 + lo_len32 + hi_len32, arc_base_bound=base_bound,
     )
     exp32 = res["out"]
     size_ok = res["size"].astype(_I32) == n_eff
 
-    lo32 = jax.lax.dynamic_slice(arc_pad, (4,), (Lw // 2,))
+    lo32 = jax.lax.dynamic_slice(arc, (4,), (Lw // 2,))
     hi32 = jax.lax.dynamic_slice(
-        arc_pad, (4 + lo_len32,), (Lw // 4,)
+        arc, (4 + lo_len32,), (Lw // 4,)
     )
     words = pf.join_words_pallas_f32(exp32, lo32, hi32)
     valid = jnp.arange(Lw, dtype=_I32) < n_eff

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from ..ans.pallas_hist import fold_hist, hist_chunk_counts
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -93,23 +94,14 @@ def _split_kernel(float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref):
     exp_ref[:] = pack(c0, c1)
     nc_ref[:] = pack(m0, m1)
 
-    # --- fused exponent histogram (exact): per-bin compare + reduce.
-    # (A scatter-free TPU histogram is inherently ~256 compares/byte; see
-    # docstring. Candidate for a smarter formulation in a later round.)
+    # --- fused exponent histogram (exact) on the MXU: stacked nibble
+    # one-hots, block-diagonal joint counts (see pallas_hist docstring)
     @pl.when(i == 0)
     def _():
-        hist_ref[:] = jnp.zeros((2, 128), jnp.float32)
+        hist_ref[:] = jnp.zeros((16, 128), _I32)
 
     c = jnp.concatenate([c0, c1], axis=0)  # (2R,128) exponent bytes
-    hrow = jax.lax.broadcasted_iota(_I32, (2, 128), 0)
-    hcol = jax.lax.broadcasted_iota(_I32, (2, 128), 1)
-    acc = jnp.zeros((2, 128), jnp.float32)
-    for s in range(C.NUM_SYMBOLS):
-        cnt = jnp.sum((c == s).astype(jnp.float32))
-        acc = acc + jnp.where(
-            (hrow == (s >> 7)) & (hcol == (s & 127)), cnt, 0.0
-        )
-    hist_ref[:] = hist_ref[:] + acc
+    hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,7 +113,7 @@ def _build_split_call(RP: int, float_type: int):
         out_shape=(
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
-            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((16, 128), _I32),
         ),
         grid=(grid,),
         in_specs=[
@@ -138,7 +130,7 @@ def _build_split_call(RP: int, float_type: int):
                 (SPLIT_TILE // 2, 128), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
@@ -168,7 +160,7 @@ def split_words_pallas(words32: jnp.ndarray, float_type: int):
     x = x.at[:n2].set(words32.astype(_I32))
     call = _build_split_call(RP, float_type)
     exp32, nc32, hist = call(x.reshape(RP, 128))
-    hist256 = hist.reshape(256).astype(_U32)
+    hist256 = fold_hist(hist).astype(_U32)
     return exp32.reshape(-1), nc32.reshape(-1), hist256
 
 
@@ -235,8 +227,12 @@ def join_words_pallas(exp32: jnp.ndarray, nc32: jnp.ndarray, float_type: int):
     n4 = exp32.shape[0]
     TILE = SPLIT_TILE // 2
     RP = C.round_up(max(C.div_up(n4, 128), TILE), TILE)
-    e = jnp.zeros(RP * 128, _I32).at[:n4].set(exp32.astype(_I32))
-    m = jnp.zeros(RP * 128, _I32).at[:n4].set(nc32.astype(_I32))
+    if n4 == RP * 128:  # aligned: no padding copies
+        e = exp32.astype(_I32)
+        m = nc32.astype(_I32)
+    else:
+        e = jnp.zeros(RP * 128, _I32).at[:n4].set(exp32.astype(_I32))
+        m = jnp.zeros(RP * 128, _I32).at[:n4].set(nc32.astype(_I32))
     call = _build_join_call(RP, float_type)
     out = call(e.reshape(RP, 128), m.reshape(RP, 128))
     return out.reshape(-1)[: 2 * n4].astype(_U32)
@@ -292,15 +288,9 @@ def _split_kernel_f32(R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref):
 
     @pl.when(i == 0)
     def _():
-        hist_ref[:] = jnp.zeros((2, 128), jnp.float32)
+        hist_ref[:] = jnp.zeros((16, 128), _I32)
 
-    hrow = jax.lax.broadcasted_iota(_I32, (2, 128), 0)
-    hcol = jax.lax.broadcasted_iota(_I32, (2, 128), 1)
-    acc = jnp.zeros((2, 128), jnp.float32)
-    for s in range(C.NUM_SYMBOLS):
-        cnt = jnp.sum((c == s).astype(jnp.float32))
-        acc = acc + jnp.where((hrow == (s >> 7)) & (hcol == (s & 127)), cnt, 0.0)
-    hist_ref[:] = hist_ref[:] + acc
+    hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -314,7 +304,7 @@ def _build_split_call_f32(RP: int):
             jax.ShapeDtypeStruct((RP // 4, 128), _I32),
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((RP // 4, 128), _I32),
-            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((16, 128), _I32),
         ),
         grid=(grid,),
         in_specs=[
@@ -324,7 +314,7 @@ def _build_split_call_f32(RP: int):
             pl.BlockSpec((T // 4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T // 2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T // 4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
@@ -345,7 +335,7 @@ def split_words_pallas_f32(words: jnp.ndarray):
         exp32.reshape(-1),
         lo32.reshape(-1),
         hi32.reshape(-1),
-        hist.reshape(256).astype(_U32),
+        fold_hist(hist).astype(_U32),
     )
 
 
@@ -401,9 +391,14 @@ def join_words_pallas_f32(exp32, lo32, hi32):
     n4 = exp32.shape[0]
     T4 = SPLIT_TILE // 4
     RP4 = C.round_up(max(C.div_up(n4, 128), T4), T4)
-    e = jnp.zeros(RP4 * 128, _I32).at[:n4].set(exp32.astype(_I32))
-    h = jnp.zeros(RP4 * 128, _I32).at[:n4].set(hi32.astype(_I32))
-    lo = jnp.zeros(2 * RP4 * 128, _I32).at[: 2 * n4].set(lo32.astype(_I32))
+    if n4 == RP4 * 128 and lo32.shape[0] == 2 * n4:
+        e = exp32.astype(_I32)
+        h = hi32.astype(_I32)
+        lo = lo32.astype(_I32)
+    else:
+        e = jnp.zeros(RP4 * 128, _I32).at[:n4].set(exp32.astype(_I32))
+        h = jnp.zeros(RP4 * 128, _I32).at[:n4].set(hi32.astype(_I32))
+        lo = jnp.zeros(2 * RP4 * 128, _I32).at[: 2 * n4].set(lo32.astype(_I32))
     call = _build_join_call_f32(RP4)
     out = call(
         e.reshape(RP4, 128), lo.reshape(2 * RP4, 128), h.reshape(RP4, 128)

@@ -207,6 +207,12 @@ def ans_encode(
 
     if nb > 0:
         states, compacted, words = _encode_blocks(data, pdf, cdf, prob_bits, use_magic)
+        if int((words > C.MAX_COMP_WORDS_PER_BLOCK).sum()):
+            # reference device-asserts here (GpuANSEncode.cuh:355-360); the
+            # JAX encoders flag C.SIZE_OVERFLOW_BIT in the returned size
+            raise OverflowError(
+                "compressed block exceeds the per-block payload bound"
+            )
     else:
         states = np.zeros((0, C.NUM_INTERLEAVED), dtype=_U32)
         compacted = np.zeros((0, C.MAX_COMP_WORDS_PER_BLOCK), dtype=np.uint16)

@@ -13,6 +13,7 @@ from helpers import (
     BUCKET,
     checksum_jit,
     div_magic_jit,
+    encode_jit,
     gen_exp_bytes,
     histogram_jit,
     jax_decode,
@@ -140,3 +141,27 @@ def test_vmap_batched_encode(rng):
         expect = ans_ref.ans_encode(datas[i])
         assert int(sizes[i]) == expect.size
         np.testing.assert_array_equal(np.asarray(arcs[i])[: expect.size], expect)
+
+
+def _overflow_input():
+    """64 KiB of zeros + one 4 KiB block of weight-1 symbols: at probBits=11
+    every rare symbol costs ~11 bits, so the block needs ~2816 > 2560 words
+    (the reference device-asserts, GpuANSEncode.cuh:355-360)."""
+    zeros = np.zeros(16 * C.DEFAULT_BLOCK_SIZE, np.uint8)
+    rare = np.tile(np.arange(1, 256, dtype=np.uint8), 17)[: C.DEFAULT_BLOCK_SIZE]
+    return np.concatenate([zeros, rare])
+
+
+def test_encode_overflow_oracle_raises():
+    with pytest.raises(OverflowError):
+        ans_ref.ans_encode(_overflow_input(), prob_bits=11)
+
+
+def test_encode_overflow_flagged():
+    data = _overflow_input()
+    L = C.round_up(data.size, C.DEFAULT_BLOCK_SIZE)
+    arc, size = encode_jit(jnp.asarray(pad_to(data, L)), data.size, 11, False)
+    assert int(size) & C.SIZE_OVERFLOW_BIT
+    # sanity: the same data at probBits=9 (max ~9 bits/symbol) is fine
+    arc, size = encode_jit(jnp.asarray(pad_to(data, L)), data.size, 9, False)
+    assert not int(size) & C.SIZE_OVERFLOW_BIT

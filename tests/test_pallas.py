@@ -37,16 +37,17 @@ def interpret_pallas(monkeypatch):
 
     import dietgpu_tpu.ans.pallas_decode as pdec
     import dietgpu_tpu.ans.pallas_encode as penc
+    import dietgpu_tpu.ans.pallas_hist as phist
     import dietgpu_tpu.floatcodec.pallas_float as pf
 
     monkeypatch.setattr(pl, "pallas_call", patched)
-    for mod in (pdec, penc, pf):
+    for mod in (pdec, penc, phist, pf):
         for name in dir(mod):
             obj = getattr(mod, name)
             if hasattr(obj, "cache_clear"):
                 obj.cache_clear()
     yield
-    for mod in (pdec, penc, pf):
+    for mod in (pdec, penc, phist, pf):
         for name in dir(mod):
             obj = getattr(mod, name)
             if hasattr(obj, "cache_clear"):
@@ -80,6 +81,69 @@ def test_pallas_ans_roundtrip_interpret(interpret_pallas, rng, n):
     assert int(r["size"]) == n
     assert np.array_equal(out[:n], data)
     assert not out[n:].any()
+
+
+@pytest.mark.parametrize("pb", [9, 11])
+def test_pallas_ans_roundtrip_interpret_pb(interpret_pallas, rng, pb):
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    n = 12000
+    data = _expo_bytes(rng, n, 30)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    dj = jnp.asarray(padded)
+
+    arc_x, size_x = enc.ans_encode_padded(dj, n, pb, False)
+    arc_p, size_p = penc.ans_encode_padded_pallas(dj, n, pb, False)
+    sx = int(size_x)
+    assert sx == int(size_p)
+    assert np.array_equal(np.asarray(arc_x)[:sx], np.asarray(arc_p)[:sx])
+    r = pdec.ans_decode_padded_pallas(arc_p, pb, L, False)
+    assert bool(r["success"])
+    assert np.array_equal(np.asarray(r["out"])[:n], data)
+
+
+def test_pallas_ans_multitile_interpret(interpret_pallas, rng):
+    """3-tile grid at block_tile=32: exercises the cross-tile DMA boundary,
+    the assembly spill rows, and dense-decode tile geometry (VERDICT #7)."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    n = 70 * C.DEFAULT_BLOCK_SIZE + 129  # 71 blocks -> NBp=96, 3 tiles
+    data = _expo_bytes(rng, n, 25)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    dj = jnp.asarray(padded)
+
+    arc_x, size_x = enc.ans_encode_padded(dj, n, 10, False)
+    arc_p, size_p = penc.ans_encode_padded_pallas(dj, n, 10, False, block_tile=32)
+    sx = int(size_x)
+    assert sx == int(size_p)
+    assert np.array_equal(np.asarray(arc_x)[:sx], np.asarray(arc_p)[:sx])
+    r = pdec.ans_decode_padded_pallas(arc_p, 10, L, False, block_tile=32)
+    assert bool(r["success"])
+    out = np.asarray(r["out"])
+    assert np.array_equal(out[:n], data)
+    assert not out[n:].any()
+
+
+@pytest.mark.parametrize("n", [1, 1000, 530000])
+def test_pallas_histogram_interpret(interpret_pallas, rng, n):
+    from dietgpu_tpu.ans import pallas_hist as ph
+
+    buf = C.round_up(n, 4)
+    data = np.zeros(buf, np.uint8)
+    data[:n] = _expo_bytes(rng, n)
+    data[n:] = 0xAB  # garbage tail: the kernel must mask it
+    d32 = jnp.asarray(
+        data.view("<u4") if buf % 4 == 0 else data[: buf - buf % 4].view("<u4")
+    )
+    got = np.asarray(ph.histogram_u8_pallas(d32, n))
+    want = np.bincount(data[:n], minlength=256)
+    assert np.array_equal(got, want)
 
 
 def test_pallas_float_roundtrip_interpret(interpret_pallas, rng):
@@ -140,3 +204,17 @@ def test_pallas_ans_tpu_bitexact(rng, pb):
     r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, pb, L, False))(arc_p)
     assert bool(r["success"])
     assert np.array_equal(np.asarray(r["out"])[:n], data)
+
+
+def test_pallas_encode_overflow_interpret(interpret_pallas):
+    """Adversarial weight-1 block at pb=11 must flag SIZE_OVERFLOW_BIT and
+    keep the staging stores in bounds (VERDICT #4)."""
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    zeros = np.zeros(16 * C.DEFAULT_BLOCK_SIZE, np.uint8)
+    rare = np.tile(np.arange(1, 256, dtype=np.uint8), 17)[: C.DEFAULT_BLOCK_SIZE]
+    data = np.concatenate([zeros, rare])
+    arc, size = penc.ans_encode_padded_pallas(
+        jnp.asarray(data), data.size, 11, False
+    )
+    assert int(size) & C.SIZE_OVERFLOW_BIT
