@@ -33,7 +33,8 @@ def main():
 
     quick = "--quick" in sys.argv
     K = 3
-    iters = 6
+    # the tunnel's chain-closing readback costs ~34 ms fixed; amortize it
+    iters = 32
     rng = np.random.default_rng(0)
     results = []
 
@@ -121,6 +122,38 @@ def main():
         }
         results.append(row)
         print(f"ans pb={pb}   {m:4d}Mi  ratio {row['ratio']:.4f}  "
+              f"enc {row['enc_GBps']:6.2f}  dec {row['dec_GBps']:6.2f} GB/s",
+              flush=True)
+
+    # ---- batched scenario: 128 x 512Ki bf16 (reference benchmark.py:149-221
+    # runs the same non-batched vs 128-way-batched comparison) ----
+    if not quick:
+        B, nw = 128, 512 * 1024
+        Lw = C.round_up(nw, C.DEFAULT_BLOCK_SIZE)
+        ft = C.FLOAT_TYPE_BFLOAT16
+        raw = B * nw * 2
+        batches = []
+        for k in range(K):
+            x = rng.standard_normal(B * Lw).astype(np.float32)
+            w = (x.view(np.uint32) >> 16).astype(np.uint16)
+            batches.append(jnp.asarray(w.view(np.uint32).reshape(B, Lw // 2)))
+        bcompress = jax.jit(
+            jax.vmap(lambda w: pfc.float_compress_padded_pallas(w, nw, ft, 10, False))
+        )
+        bdecompress = jax.jit(
+            jax.vmap(lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False))
+        )
+        arcs = [bcompress(b)[0] for b in batches]
+        sizes = np.asarray(bcompress(batches[0])[1])
+        te = timeit(bcompress, batches)
+        td = timeit(bdecompress, arcs)
+        row = {
+            "codec": "float-bf16-batch128", "mwords": B * nw >> 20,
+            "ratio": float(sizes.sum()) / raw,
+            "enc_GBps": raw / te / 1e9, "dec_GBps": raw / td / 1e9,
+        }
+        results.append(row)
+        print(f"batch 128x512Ki bf16  ratio {row['ratio']:.4f}  "
               f"enc {row['enc_GBps']:6.2f}  dec {row['dec_GBps']:6.2f} GB/s",
               flush=True)
 

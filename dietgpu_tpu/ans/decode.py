@@ -18,6 +18,25 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
+def decode_scratch_bytes(max_size: int, num_in_batch: int = 1) -> int:
+    """Device scratch accounting for decode, mirroring the reference's
+    StackDeviceMemory reservations during ansDecodeBatch
+    (GpuANSDecode.cuh:484-504: the per-batch 2^probBits u32 LUT table) plus
+    the checksum staging arrays (GpuANSDecode.cuh:556-575), at the 256-byte
+    allocation granularity (StackDeviceMemory.h:24).
+
+    Returned for API parity ("temp memory used"); XLA manages actual scratch.
+    """
+
+    def align(x):
+        return C.round_up(x, 256)
+
+    table_bytes = 4 * (1 << 11)  # worst-case probBits=11 table per element
+    total = align(num_in_batch * table_bytes)
+    total += 2 * align(num_in_batch * 4)  # checksum + archive-checksum vecs
+    return total
+
+
 def _bytes_to_u32(arc: jnp.ndarray) -> jnp.ndarray:
     """Little-endian u8 (4n,) -> u32 (n,)."""
     b = arc.reshape(-1, 4).astype(_U32)

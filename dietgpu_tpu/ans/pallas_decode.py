@@ -47,6 +47,14 @@ from .checksum import checksum_u8
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
+# perf-debug knob: skip kernel phases to attribute time (output garbage!).
+# comma-set of {realign,read,rank,pack,lut}; e.g. DIETGPU_DECODE_ABLATE=read
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("DIETGPU_DECODE_ABLATE", "").split(","))
+)
+
 S = C.STEPS_PER_BLOCK  # 128 steps of 32 symbols per block
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560 u16 words
@@ -105,25 +113,59 @@ def _suffix_matrix():
 def _decode_kernel(
     prob_bits: int,
     T: int,
-    tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA start
-    lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
-    meta_ref,  # VMEM (T,128): per group g lanes 32g+0..3 =
-    #            (steps, rem, cwords, off32) of block 4*row+g
-    states_ref,  # VMEM (T,128): lanes 32g..32g+31 = states of block 4*row+g
-    symtab_ref,
-    pdfcdf_ref,
-    plo_ref,  # VMEM (4,128,128) bf16
-    phi_ref,  # VMEM (4,128,128) bf16
-    suf_ref,  # VMEM (128,128) bf16 block-diagonal suffix matrix
-    arc_ref,  # ANY (XR,128) u32 archive rows
-    out_ref,  # VMEM (T, 32, 128): rows 8g..8g+7 = chunks of block 4*row+g
-    tilebuf,  # scratch (RT,128) i32
-    st0,  # scratch (T, ROWS_PER_BLOCK, 128) i32, group-0 streams
-    st1,
-    st2,
-    st3,
-    dma_sem,
+    fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
+    *refs,
 ):
+    """Hot decode loop; with fuse_ft set, the kernel additionally performs
+    the float join in place of the raw byte output — the TPU analogue of
+    the reference's fused JoinFloatWriter decode
+    (GpuFloatDecompress.cuh:391-521): decoded exponent bytes meet the
+    nonComp plane rows (a regular pipelined input) and leave as finished
+    float words, never round-tripping through HBM."""
+    if fuse_ft is None:
+        (
+            tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA
+            lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
+            meta_ref,  # VMEM (T,128): per group g lanes 32g+0..3 =
+            #            (steps, rem, cwords, off32) of block 4*row+g
+            states_ref,  # VMEM (T,128): lanes 32g.. = states of block 4r+g
+            symtab_ref,
+            pdfcdf_ref,
+            plo_ref,  # VMEM (4,128,128) bf16
+            phi_ref,  # VMEM (4,128,128) bf16
+            suf_ref,  # VMEM (128,128) bf16 block-diagonal suffix matrix
+            arc_ref,  # ANY (XR,128) u32 archive rows
+            out_ref,  # VMEM (T, 32, 128): rows 8g+c = chunks of block 4r+g
+            tilebuf,  # scratch (RT,128) i32
+            st0,  # scratch (T, ROWS_PER_BLOCK, 128) i32, group-0 streams
+            st1,
+            st2,
+            st3,
+            dma_sem,
+        ) = refs
+        nn_ref = nc_ref = None
+    else:
+        (
+            tile_row0_ref,
+            lrow_ref,
+            nn_ref,  # SMEM (1,) total float words (for tail masking)
+            meta_ref,
+            states_ref,
+            symtab_ref,
+            pdfcdf_ref,
+            plo_ref,
+            phi_ref,
+            suf_ref,
+            nc_ref,  # VMEM (T, 32, 128): nonComp rows of blocks 4r..4r+3
+            arc_ref,
+            out_ref,  # VMEM (T, 64, 128): float word-pair rows
+            tilebuf,
+            st0,
+            st1,
+            st2,
+            st3,
+            dma_sem,
+        ) = refs
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     RT = BPR * T * (MW // 256) + 48  # DMA row counts must be 8-aligned
@@ -134,6 +176,9 @@ def _decode_kernel(
     gid = _srl(lane, 5)  # lane group 0..3
     gbase = lane & ~31
     zeros = jnp.zeros((T, 128), _I32)
+    riota = jax.lax.broadcasted_iota(_I32, (T, 128), 0)
+    sh0 = ((2 * lane) & 3) << 3  # byte shifts for the fused join
+    sh1 = ((2 * lane + 1) & 3) << 3
 
     # ---- tile-range DMA + per-block realign ----
     dma = pltpu.make_async_copy(
@@ -150,7 +195,11 @@ def _decode_kernel(
             streams[g][r] = tilebuf[pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :]
         return 0
 
-    jax.lax.fori_loop(0, T, realign, 0, unroll=False)
+    if "realign" not in _ABLATE:
+        jax.lax.fori_loop(0, T, realign, 0, unroll=False)
+    else:
+        for g in range(BPR):
+            streams[g][0] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
 
     meta = meta_ref[:]
     steps = _taa(meta, gbase)
@@ -175,13 +224,17 @@ def _decode_kernel(
 
         s_bar = state & (K - 1)
         q = _srl(s_bar, 2)
-        g = _taa(symtab[0], q & 127)
-        for r in range(1, SR):
-            g = jnp.where(_srl(q, 7) == r, _taa(symtab[r], q & 127), g)
-        sym = _srl(g, (s_bar & 3) << 3) & 0xFF
-        pv = jnp.where(
-            sym < 128, _taa(pdfcdf[0], sym & 127), _taa(pdfcdf[1], sym & 127)
-        )
+        if "lut" not in _ABLATE:
+            g = _taa(symtab[0], q & 127)
+            for r in range(1, SR):
+                g = jnp.where(_srl(q, 7) == r, _taa(symtab[r], q & 127), g)
+            sym = _srl(g, (s_bar & 3) << 3) & 0xFF
+            pv = jnp.where(
+                sym < 128, _taa(pdfcdf[0], sym & 127), _taa(pdfcdf[1], sym & 127)
+            )
+        else:
+            sym = q & 0xFF
+            pv = sym | (sym << 12)
         pdf = pv & 0xFFF
         cdf = _srl(pv, 12) & 0xFFF
 
@@ -189,20 +242,26 @@ def _decode_kernel(
         state1 = jnp.where(act, ns, state)
 
         read = act & (state1 < C.ANS_MIN_STATE)
-        rank = (
-            jax.lax.dot_general(
-                read.astype(jnp.bfloat16), suf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(_I32)
+        if "rank" not in _ABLATE:
+            rank = (
+                jax.lax.dot_general(
+                    read.astype(jnp.bfloat16), suf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(_I32)
+        else:
+            rank = read.astype(_I32)
         cnt = _taa(rank, gbase)  # group base lane = total readers in group
 
         rj = pos - rank  # u16-word index of each reader (backwards stream)
-        widx = (off32 + _srl(rj, 1) - base) & 127
-        v32 = _taa(wins[0], widx)
-        for gg in range(1, BPR):
-            v32 = jnp.where(gid == gg, _taa(wins[gg], widx), v32)
-        v16 = _srl(v32, (rj & 1) << 4) & 0xFFFF
+        if "read" not in _ABLATE:
+            widx = (off32 + _srl(rj, 1) - base) & 127
+            v32 = _taa(wins[0], widx)
+            for gg in range(1, BPR):
+                v32 = jnp.where(gid == gg, _taa(wins[gg], widx), v32)
+            v16 = _srl(v32, (rj & 1) << 4) & 0xFFFF
+        else:
+            v16 = rj & 0xFFFF
 
         state2 = jnp.where(read, (state1 << 16) | v16, state1)
         pos = pos - cnt
@@ -212,6 +271,8 @@ def _decode_kernel(
         """Per-group 256-u16-word windows covering the next 8 steps' reads."""
         hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
         base = jnp.maximum(hi - 127, 0)
+        if "refill" in _ABLATE:
+            return (zeros, zeros, zeros, zeros), base
         wins = []
         for gg in range(BPR):
             bg = _taa(base, zeros + 32 * gg)
@@ -242,6 +303,9 @@ def _decode_kernel(
             for d in range(GROUP - 1, -1, -1):
                 kk = cc * CHUNK + GROUP * m + d
                 syms[d], state, pos = one_step(kk, state, pos, wins, base)
+            if "pack" in _ABLATE:
+                packs[m] = syms[0]
+                continue
             lo = None
             hi = None
             for d in range(GROUP):
@@ -266,7 +330,41 @@ def _decode_kernel(
                 piece = pltpu.roll(packs[m], (32 * (m - g)) % 128, 1)
                 piece = jnp.where(gid == m, piece, 0)
                 row = piece if row is None else row | piece
-            out_ref[:, 8 * g + cc, :] = row
+            if fuse_ft is None:
+                out_ref[:, 8 * g + cc, :] = row
+                continue
+            # fused join: row = 512 decoded exponent bytes of block (r,g)
+            # chunk cc; combine with the chunk's nonComp row and emit the
+            # finished float word-pairs (JoinFloatWriter analogue,
+            # GpuFloatUtils.cuh:111-159), tail-masked by the word count
+            nc_row = nc_ref[:, 8 * g + cc, :]
+            wbase = (i * (BPR * T) + BPR * riota + g) * (
+                C.DEFAULT_BLOCK_SIZE
+            ) + cc * 512
+            for p in range(2):
+                qidx = 64 * p + _srl(lane, 1)
+                eb = _taa(row, qidx)
+                mb = _taa(nc_row, qidx)
+                c0 = _srl(eb, sh0) & 0xFF
+                c1 = _srl(eb, sh1) & 0xFF
+                m0 = _srl(mb, sh0) & 0xFF
+                m1 = _srl(mb, sh1) & 0xFF
+                if fuse_ft == C.FLOAT_TYPE_BFLOAT16:
+                    w0j = (c0 << 8) | m0
+                    w0j = (_srl(w0j, 1) | (w0j << 15)) & 0xFFFF
+                    w1j = (c1 << 8) | m1
+                    w1j = (_srl(w1j, 1) | (w1j << 15)) & 0xFFFF
+                else:  # f16: comp byte is the high byte
+                    w0j = (c0 << 8) | m0
+                    w1j = (c1 << 8) | m1
+                pair = w0j | (w1j << 16)
+                widx0 = wbase + 256 * p + 2 * lane
+                nn = nn_ref[0]
+                pair = jnp.where(
+                    widx0 + 1 < nn, pair,
+                    jnp.where(widx0 < nn, pair & 0xFFFF, 0),
+                )
+                out_ref[:, 16 * g + 2 * cc + p, :] = pair
         return state, pos, w0, w1, w2, w3, base
 
     init = (
@@ -282,34 +380,54 @@ def _decode_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int):
+def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int, fuse_ft=None):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = BPR * T * (MW // 256) + 48
 
-    kernel = functools.partial(_decode_kernel, prob_bits, T)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
+    kernel = functools.partial(_decode_kernel, prob_bits, T, fuse_ft)
+    small = [
+        pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if fuse_ft is None:
+        n_prefetch = 2
+        in_specs = small + [pl.BlockSpec(memory_space=pl.ANY)]
+        out_spec = pl.BlockSpec(
             (T, S // CHUNK * BPR, 128), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
-        ),
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (NBp // BPR, S // CHUNK * BPR, 128), _I32
+        )
+    else:
+        n_prefetch = 3  # + nn (total words)
+        in_specs = small + [
+            pl.BlockSpec(
+                (T, 32, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_spec = pl.BlockSpec(
+            (T, 64, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((NBp // BPR, 64, 128), _I32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((RT, 128), _I32),
             pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
@@ -319,13 +437,7 @@ def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (NBp // BPR, S // CHUNK * BPR, 128), _I32
-        ),
-        grid_spec=grid_spec,
-    )
+    return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec)
 
 
 def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
@@ -356,10 +468,11 @@ def ans_decode_padded_pallas(
     prob_bits: int,
     out_max: int,
     verify_checksum: bool = False,
-    block_tile: int = 256,
+    block_tile: int = 512,
     return_u32: bool = False,
     arc_base=None,
     arc_base_bound: int = 0,
+    fuse_float=None,
 ):
     """Pallas-backed drop-in for ans_decode_padded (same contract).
 
@@ -372,6 +485,11 @@ def ans_decode_padded_pallas(
     embedded inside a larger u32 buffer IN PLACE — no slice copy; the float
     codec uses this to decode straight out of its container. The caller must
     supply the static bound `arc_base_bound >= max possible arc_base`.
+
+    `fuse_float` (FLOAT_TYPE_FLOAT16/BFLOAT16, requires arc_base into a
+    float archive) runs the fused decode+join: `out` is then the finished
+    float word-pair stream ((out_max//2,) u32, tail-masked), the reference's
+    fused JoinFloatWriter path (GpuFloatDecompress.cuh:391-521).
     """
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     NB = out_max // C.DEFAULT_BLOCK_SIZE
@@ -390,9 +508,26 @@ def ans_decode_padded_pallas(
     base = jnp.asarray(0 if arc_base is None else arc_base, _I32)
 
     # fast path: the buffer itself is row-shaped and long enough that every
-    # section slice and the tile DMA stay in bounds — zero padding copies
+    # section slice and the tile DMA stay in bounds — zero padding copies.
+    # The DMA bound must cover the worst-case payload END plus a full RT-row
+    # tile read past it (a tile's DMA always spans RT rows even when the
+    # archive tail is short); archive_buffer_bytes_pallas allocates that
+    # slack. Without it, clipping tile_row0 would misalign live streams.
     sect_end = arc_base_bound + 136 + NBp * W + 2 * NBp + 2
-    fast = A32 % 128 == 0 and A32 // 128 >= RT and A32 >= sect_end
+    dma_end_rows = (
+        C.div_up(arc_base_bound + 138 + 34 * NBp, 128)
+        + NBp * (MW // 256)
+        + RT
+        + 2
+    )
+    fast = (
+        A32 % 128 == 0
+        and A32 // 128 >= dma_end_rows
+        and A32 >= sect_end
+    )
+    if fuse_float is not None:
+        assert arc_base is not None, "fused join needs a float-archive base"
+        fast = fast and A32 >= 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
 
     h = jax.lax.dynamic_slice(arc32, (base,), (8,))
     magic_ok = h[0] == _U32((C.ANS_MAGIC << 16) | C.ANS_VERSION)
@@ -418,9 +553,10 @@ def ans_decode_padded_pallas(
     if fast:
         arc_ext = arc32
     else:
-        arc_ext = jnp.concatenate(
-            [arc32, jnp.zeros(arc_base_bound + NBp * 34 + 140, _U32)]
-        )
+        pad = arc_base_bound + NBp * 34 + 140
+        if fuse_float is not None:
+            pad += 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
+        arc_ext = jnp.concatenate([arc32, jnp.zeros(pad, _U32)])
     bw_flat = jax.lax.dynamic_slice(
         arc_ext, (bw_start,), (2 * NBp + 2,)
     )
@@ -461,11 +597,10 @@ def ans_decode_padded_pallas(
     states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
     states128 = states.astype(_I32).reshape(NR, 128)
 
-    # tile geometry for the tile-range DMA (in-place on the fast path)
-    tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
-    lrow = jnp.clip(
-        row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
-    )
+    # tile geometry for the tile-range DMA (in-place on the fast path).
+    # Clip BEFORE deriving lrow so the per-block window offsets always agree
+    # with the actual DMA start (the clip only ever fires for tiles with no
+    # live blocks, given the dma_end_rows slack guarantee).
     if fast:
         need_rows = A32 // 128
         arc_rows = arc32.astype(_I32).reshape(need_rows, 128)
@@ -473,24 +608,44 @@ def ans_decode_padded_pallas(
         need_rows = int(C.div_up(A32, 128)) + RT + 1
         arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
         arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
+    tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
     tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
+    lrow = jnp.clip(
+        row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
+    )
 
     plo_np, phi_np = _pack_matrices()
     plo = jnp.asarray(plo_np, jnp.bfloat16)
     phi = jnp.asarray(phi_np, jnp.bfloat16)
     suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
-    call = _build_decode_call(NBp, prob_bits, T, need_rows)
+    call = _build_decode_call(NBp, prob_bits, T, need_rows, fuse_float)
+    result = {
+        "size": n.astype(_U32),
+        "success": success,
+        "checksum_ok": jnp.bool_(True),
+    }
+    if fuse_float is not None:
+        # nonComp plane rows for the fused join: a regular pipelined input
+        nc_flat = jax.lax.dynamic_slice(
+            arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
+        )
+        nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
+        nn = jnp.clip(n, 0, out_max).reshape(1)
+        out = call(
+            tile_row0, lrow, nn, meta, states128, symtab, pdfcdf, plo, phi,
+            suf, nc3, arc_rows,
+        )
+        result["out"] = out.reshape(NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
+            : out_max // 2
+        ].astype(_U32)
+        return result
+
     out32 = call(
         tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi, suf,
         arc_rows,
     )
 
     out32 = out32.reshape(NBp * S * W // 4)[: out_max // 4].astype(_U32)
-    result = {
-        "size": n.astype(_U32),
-        "success": success,
-        "checksum_ok": jnp.bool_(True),
-    }
     if return_u32:
         result["out"] = out32
         if verify_checksum:

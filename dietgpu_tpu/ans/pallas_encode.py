@@ -37,6 +37,7 @@ from .. import constants as C
 from . import layout
 from . import stats
 from .checksum import checksum_u8
+from ..profiling import annotate
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -527,18 +528,21 @@ def ans_encode_padded_pallas(
 
     static_n = length if isinstance(length, int) else None
     length = jnp.asarray(length, _I32)
-    staged, counts, states_out, uncomp, checksum = _encode_stage1(
-        data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
-        use_checksum=use_checksum,
-    )
-    arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
-        staged, counts, states_out, uncomp, checksum, pdf, length,
-        L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
-        block_tile=block_tile, static_n=static_n,
-    )
-    PR = NBp * (PAGES // 2) + 32
-    asm = _build_assembly_call(NBp, T, PR)
-    pay_rows = asm(trow, srow, dloc, drot, staged, seed)
+    with annotate("ans.encode_kernel"):
+        staged, counts, states_out, uncomp, checksum = _encode_stage1(
+            data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
+            use_checksum=use_checksum,
+        )
+    with annotate("ans.sections"):
+        arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
+            staged, counts, states_out, uncomp, checksum, pdf, length,
+            L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
+            block_tile=block_tile, static_n=static_n,
+        )
+    with annotate("ans.assembly"):
+        PR = NBp * (PAGES // 2) + 32
+        asm = _build_assembly_call(NBp, T, PR)
+        pay_rows = asm(trow, srow, dloc, drot, staged, seed)
     XR = archive_buffer_bytes_pallas(L, block_tile) // 512
     if isinstance(prow0, int):
         head = jax.lax.slice(
@@ -559,12 +563,19 @@ def ans_encode_padded_pallas(
     return layout.u32_to_u8le(arc32), size
 
 
+# Tail slack so the DENSE DECODER's fixed-size tile DMA (RT rows per tile,
+# up to 40*128+48 at block_tile=512) plus decoder block-count rounding can
+# always read past the worst-case payload end without leaving the buffer.
+DECODE_DMA_SLACK_ROWS = (40 * 128 + 48) + (10 * 512 + 136) + 192
+
+
 def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
     """Static archive buffer size (512-byte rows, with tile-DMA slack).
 
     Sized so the payload-region DUS (NBp * 10 + 24 rows at the 8-aligned
     region start) always fits, including tile padding beyond the real block
-    count.
+    count, plus DECODE_DMA_SLACK_ROWS so the dense decoder's in-place DMA
+    fast path holds for archives of any compressibility.
     """
     NB = padded_len // C.DEFAULT_BLOCK_SIZE
     T = min(block_tile, max(8, NB))
@@ -572,4 +583,4 @@ def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
         T += 1
     NBp = C.round_up(NB, T)
     sect_rows = C.div_up(136 + NBp * 34 + 4, 128)
-    return 512 * (sect_rows + NBp * (PAGES // 2) + 64)
+    return 512 * (sect_rows + NBp * (PAGES // 2) + DECODE_DMA_SLACK_ROWS)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from . import backend as backend_mod
 from . import constants as C
+from .ans import decode as ans_decode_mod
 from .ans import encode as ans_encode_mod
 from .floatcodec import codec as float_codec_mod
 from .ref import ans_ref, float_ref
@@ -256,6 +257,58 @@ def compress_data_split_size(
     return compress_data(compress_as_float, pieces, checksum, prob_bits)
 
 
+def compress_data_stride(
+    compress_as_float: bool,
+    t_in: jax.Array,
+    sizes: Sequence[int] | None = None,
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Compress the rows of a 2-D (batch, stride) array as a batch — the
+    natural TPU analogue of BatchProviderStride (ans/BatchProvider.cuh:39-69,
+    tested ANSTest.cu:277-282). Row b's payload is t_in[b, :sizes[b]]
+    (elements; defaults to the full stride).
+
+    Returns (comp, sizes_bytes, temp_mem) as compress_data.
+    """
+    if t_in.ndim != 2:
+        raise ValueError("stride form expects a 2-D (batch, stride) array")
+    B, stride = t_in.shape
+    if sizes is None:
+        sizes = [stride] * B
+    sizes = [int(s) for s in sizes]
+    if len(sizes) != B or any(s < 0 or s > stride for s in sizes):
+        raise ValueError("per-row sizes must be within [0, stride]")
+    rows = [jax.lax.slice(t_in, (b, 0), (b + 1, sizes[b]))[0] for b in range(B)]
+    return compress_data(compress_as_float, rows, checksum, prob_bits)
+
+
+def decompress_data_stride(
+    compress_as_float: bool,
+    ts_in: Sequence[jax.Array],
+    batch: int,
+    stride: int,
+    dtype,
+    sizes: Sequence[int] | None = None,
+    checksum: bool = False,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Decompress a batch into the rows of one (batch, stride) array
+    (BatchProviderStride on the output side). Rows are zero-padded past
+    their payload. Returns (out2d, status, sizes_bytes, temp_mem)."""
+    if sizes is None:
+        sizes = [stride] * batch
+    sizes = [int(s) for s in sizes]
+    specs = [jnp.zeros(s, dtype) for s in sizes]
+    outs, status, sizes_bytes, tm = decompress_data(
+        compress_as_float, ts_in, specs, checksum, prob_bits
+    )
+    out2d = jnp.stack(
+        [jnp.pad(o.reshape(-1), (0, stride - o.size)) for o in outs]
+    )
+    return out2d, status, sizes_bytes, tm
+
+
 # ---------------------------------------------------------------------------
 # decompress
 # ---------------------------------------------------------------------------
@@ -322,7 +375,8 @@ def decompress_data(
     if checksum and not bool(jnp.all(cs_ok)):
         bad = np.nonzero(~np.asarray(jax.device_get(cs_ok)))[0].tolist()
         raise ValueError(f"checksum mismatch in batch elements {bad}")
-    return outs, ok.astype(jnp.uint8), sizes_bytes, 0
+    temp_mem = ans_decode_mod.decode_scratch_bytes(int(caps.max()), B)
+    return outs, ok.astype(jnp.uint8), sizes_bytes, temp_mem
 
 
 def decompress_data_simple(
@@ -361,10 +415,22 @@ def decompress_data_split_size(
     checksum: bool = False,
     prob_bits: int = C.DEFAULT_PROB_BITS,
 ):
-    """Decompress a batch into consecutive splits of one flat output."""
+    """Decompress a batch into consecutive splits of one flat output.
+
+    Interior split boundaries must keep the 4-byte alignment the compress
+    side enforces (mirrors GpuANSEncode.cu:131-148 / GpuANSDecode.cu)."""
     split_sizes = [int(s) for s in split_sizes]
     if sum(split_sizes) != t_out.size:
         raise ValueError("split sizes must sum to the output size")
+    word = t_out.dtype.itemsize
+    off = 0
+    for s in split_sizes[:-1]:
+        off += s * word
+        if off % C.ANS_REQUIRED_ALIGNMENT != 0:
+            raise ValueError(
+                "interior split boundaries must be 4-byte aligned "
+                f"(offset {off})"
+            )
     pieces = []
     off = 0
     flat = t_out.reshape(-1)

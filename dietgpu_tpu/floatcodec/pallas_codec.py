@@ -19,6 +19,7 @@ from .. import constants as C
 from ..ans import pallas_decode as pdec
 from ..ans import pallas_encode as penc
 from ..ans import stats
+from ..profiling import annotate
 from . import pallas_float as pf
 
 _I32 = jnp.int32
@@ -77,19 +78,22 @@ def float_compress_padded_pallas(
         )
     assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
 
-    exp32, nc32, hist = pf.split_words_pallas(pairs, float_type)
-    exp32 = exp32[: Lw // 4].astype(_U32)
-    nc32 = nc32[: Lw // 4].astype(_U32)
-    # the split kernel histograms its zero-padded full tile; padding words
-    # (value 0) land in the exponent-0 bin
-    total = pf.split_total_words(Lw)
-    hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
-    pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
+    with annotate("float.split"):
+        exp32, nc32, hist = pf.split_words_pallas(pairs, float_type)
+        exp32 = exp32[: Lw // 4].astype(_U32)
+        nc32 = nc32[: Lw // 4].astype(_U32)
+    with annotate("float.stats"):
+        # the split kernel histograms its zero-padded full tile; padding
+        # words (value 0) land in the exponent-0 bin
+        total = pf.split_total_words(Lw)
+        hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
+        pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
-    ans_arc32, ans_size = penc.ans_encode_padded_pallas(
-        exp32, static_n if static_n is not None else length, prob_bits,
-        use_checksum=False, precomputed_pdf=pdf, return_u32=True,
-    )
+    with annotate("float.ans_encode"):
+        ans_arc32, ans_size = penc.ans_encode_padded_pallas(
+            exp32, static_n if static_n is not None else length, prob_bits,
+            use_checksum=False, precomputed_pdf=pdf, return_u32=True,
+        )
 
     checksum = _U32(0)
     if use_checksum:
@@ -153,26 +157,18 @@ def float_decompress_padded_pallas(
     plane32 = C.round_up(n_eff, 16) >> 2
     ans_off = 4 + plane32
 
-    # decode the embedded ANS archive IN PLACE (arc_base) — no slice copy
-    res = pdec.ans_decode_padded_pallas(
-        arc, prob_bits, Lw, verify_checksum=False, return_u32=True,
-        arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
-    )
-    exp32 = res["out"]
+    # fused decode+join IN PLACE on the container (arc_base): the kernel
+    # emits finished, tail-masked float word-pairs — no exponent-plane HBM
+    # round trip, no separate join kernel, no XLA tail masks
+    with annotate("float.fused_decode_join"):
+        res = pdec.ans_decode_padded_pallas(
+            arc, prob_bits, Lw, verify_checksum=False,
+            arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
+            fuse_float=float_type, block_tile=384,
+        )
+    pairs = res["out"]
     ans_n = res["size"].astype(_I32)
     size_ok = ans_n == n_eff
-
-    nc32 = jax.lax.dynamic_slice(arc, (4,), (Lw // 4,))
-    pairs = pf.join_words_pallas(exp32, nc32, float_type)
-
-    # mask everything past n: zero the tail pair half-word too
-    idx2 = jnp.arange(Lw // 2, dtype=_I32)
-    full = idx2 < (n_eff >> 1)
-    half = idx2 == (n_eff >> 1)
-    tailmask = jnp.where((n_eff & 1) == 1, _U32(0xFFFF), _U32(0))
-    pairs = jnp.where(
-        full, pairs, jnp.where(half, pairs & tailmask, _U32(0))
-    )
 
     success = magic_ok & ft_ok & capacity_ok & res["success"] & size_ok
     result = {

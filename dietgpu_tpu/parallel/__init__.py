@@ -7,5 +7,7 @@ from .sharding import (  # noqa: F401
 )
 from .collectives import (  # noqa: F401
     compressed_all_gather,
+    compressed_all_gather_auto,
     compressed_all_to_all,
 )
+from .runtime import initialize_multihost  # noqa: F401

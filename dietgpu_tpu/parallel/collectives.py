@@ -1,13 +1,23 @@
 """Compressed collectives: trade VPU cycles for ICI/DCN bandwidth.
 
 The DietGPU raison d'être (reference README.md:68-72) realized TPU-natively:
-before an all-gather / all-to-all of bf16 (or f16/f32) gradient shards, each
-chip float-compresses its shard; only `budget` bytes per shard cross the
-interconnect (plus a size vector); receivers decompress. Because XLA
-collectives need static shapes, the exchange buffer is a caller-tuned budget
-(default 0.75x raw for bf16 N(0,1)-like data). If any shard overflows the
-budget, the whole collective transparently falls back to gathering raw data
-(a lax.cond branch), preserving exactness for adversarial inputs.
+before an all-gather / all-to-all of bf16/f16/f32 gradient shards, each chip
+float-compresses its shard; only the compressed payload crosses the
+interconnect; receivers decompress. On TPU backends the u32-native Pallas
+codec pipeline runs under shard_map for every dtype; elsewhere the XLA
+codec (bit-identical archives) serves as reference/fallback.
+
+Because XLA collectives need static shapes, two exchange strategies exist:
+
+  * fixed budget (`compressed_all_gather` / `compressed_all_to_all`): a
+    caller-tuned per-shard byte budget (default 0.75x raw); if any shard
+    overflows, the whole collective transparently falls back to a raw
+    exchange via lax.cond, preserving exactness on adversarial inputs.
+  * two-phase size exchange (`compressed_all_gather_auto`): phase 1
+    compresses and exchanges only the sizes; the host reads the psum'd max,
+    buckets it (1/16-of-raw granularity, so compile caching holds), and
+    phase 2 moves exactly that many wire bytes. The SURVEY §5 "two-phase
+    size exchange" — wire bytes track the data's real compressibility.
 """
 
 from __future__ import annotations
@@ -41,6 +51,56 @@ def default_budget_bytes(shard_words: int, word_size: int) -> int:
     return C.round_up(int(shard_words * word_size * 0.75) + 4096, 16)
 
 
+def _codec(ft: int, word: int, Lw: int, n_words: int, prob_bits: int, use_pallas: bool):
+    """Shard codec closure pair for one config.
+
+    compress(padded_words) -> (payload_array, size_bytes); decompress(buf)
+    -> (Lw,) words. Payload/buf are u32 on the Pallas path (unit 4) and u8
+    on the XLA path (unit 1).
+    """
+    if use_pallas:
+        F4 = pallas_codec_mod.float_archive_u32_bytes(ft, Lw) // 4
+
+        def compress(padded):
+            if word == 2:
+                inp = jax.lax.bitcast_convert_type(
+                    padded.reshape(Lw // 2, 2), _U32
+                ).reshape(-1)
+            else:
+                inp = padded.astype(_U32)
+            return pallas_codec_mod.float_compress_padded_pallas(
+                inp, n_words, ft, prob_bits, False
+            )
+
+        def decompress(buf32):
+            r = pallas_codec_mod.float_decompress_padded_pallas(
+                buf32, ft, Lw, prob_bits, False
+            )
+            out32 = r["out32"]
+            if word == 2:
+                return jax.lax.bitcast_convert_type(
+                    out32.reshape(-1, 1), jnp.uint16
+                ).reshape(-1)
+            return out32
+
+        return compress, decompress, 4, F4
+
+    F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
+
+    def compress(padded):
+        return float_codec_mod.float_compress_padded(
+            padded, n_words, ft, prob_bits, False
+        )
+
+    def decompress(buf):
+        r = float_codec_mod.float_decompress_padded(
+            buf, ft, Lw, prob_bits, False
+        )
+        return r["out"]
+
+    return compress, decompress, 1, F
+
+
 @functools.lru_cache(maxsize=None)
 def _build_all_gather(
     mesh: Mesh,
@@ -57,62 +117,29 @@ def _build_all_gather(
     Lw = C.round_up(shard_words, C.DEFAULT_BLOCK_SIZE)
     n_dev = mesh.devices.size
 
-    use_pallas = backend_mod.default_backend() == "pallas" and word == 2
-    budget4 = C.round_up(budget, 4) // 4
+    use_pallas = backend_mod.default_backend() == "pallas"
+    compress, decompress, unit, F = _codec(
+        ft, word, Lw, shard_words, prob_bits, use_pallas
+    )
+    bunits = C.round_up(budget, unit) // unit
+    pdt = _U32 if unit == 4 else jnp.uint8
 
     def local(x):
         # x: (1, shard_words) local shard
         words = jax.lax.bitcast_convert_type(x[0], wd)
         padded = jnp.zeros(Lw, wd).at[:shard_words].set(words)
-        if use_pallas:
-            # u32-native Pallas pipeline; the exchange rides in u32 words
-            arc32, size = pallas_codec_mod.float_compress_padded_pallas(
-                padded, shard_words, ft, prob_bits, False
-            )
-        else:
-            arc, size = float_codec_mod.float_compress_padded(
-                padded, shard_words, ft, prob_bits, False
-            )
+        arc, size = compress(padded)
         fits = size <= _U32(budget)
 
         def compressed_path(_):
-            if use_pallas:
-                arcp = jnp.concatenate([arc32, jnp.zeros(budget4, _U32)])
-                payload = jax.lax.dynamic_slice(arcp, (0,), (budget4,))
-                gathered = jax.lax.all_gather(payload, axis)
-
-                def decode_one(a):
-                    F4 = (
-                        pallas_codec_mod.float_archive_u32_bytes(ft, Lw) // 4
-                    )
-                    buf = jnp.zeros(max(F4, budget4), _U32).at[:budget4].set(a)
-                    r = pallas_codec_mod.float_decompress_padded_pallas(
-                        buf, ft, Lw, prob_bits, False
-                    )
-                    pairs = r["out32"]
-                    wout = jax.lax.bitcast_convert_type(
-                        pairs.reshape(-1, 1), jnp.uint16
-                    ).reshape(-1)
-                    return wout[:shard_words]
-
-                return jax.vmap(decode_one)(gathered)
-
-            # archive buffer may be smaller than the budget for tiny shards
-            arcp = jnp.concatenate([arc, jnp.zeros(budget, jnp.uint8)])
-            payload = jax.lax.dynamic_slice(arcp, (0,), (budget,))
-            # exchange: compressed bytes + sizes ride the interconnect
-            gathered = jax.lax.all_gather(payload, axis)  # (n_dev, budget)
-            sizes = jax.lax.all_gather(size, axis)  # (n_dev,)
+            arcp = jnp.concatenate([arc, jnp.zeros(bunits, pdt)])
+            payload = jax.lax.dynamic_slice(arcp, (0,), (bunits,))
+            gathered = jax.lax.all_gather(payload, axis)  # (n_dev, bunits)
 
             def decode_one(a):
-                F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
-                buf = jnp.zeros(max(F, budget), jnp.uint8).at[:budget].set(a)
-                r = float_codec_mod.float_decompress_padded(
-                    buf, ft, Lw, prob_bits, False
-                )
-                return r["out"][:shard_words]
+                buf = jnp.zeros(max(F // unit, bunits), pdt).at[:bunits].set(a)
+                return decompress(buf)[:shard_words]
 
-            del sizes  # sizes validate/debug; decode is self-describing
             return jax.vmap(decode_one)(gathered)
 
         def raw_path(_):
@@ -160,6 +187,111 @@ def compressed_all_gather(
     return fn(x)
 
 
+# ---------------------------------------------------------------------------
+# two-phase size exchange (SURVEY §5): wire bytes track the real ratio
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ag_phase1(
+    mesh: Mesh, axis: str, shard_words: int, dtype_name: str, prob_bits: int
+):
+    dtype = jnp.dtype(dtype_name)
+    ft = _float_type_of(dtype)
+    word = dtype.itemsize
+    wd = _WORD_DTYPE[word]
+    Lw = C.round_up(shard_words, C.DEFAULT_BLOCK_SIZE)
+    use_pallas = backend_mod.default_backend() == "pallas"
+    compress, _, unit, F = _codec(ft, word, Lw, shard_words, prob_bits, use_pallas)
+
+    def local(x):
+        words = jax.lax.bitcast_convert_type(x[0], wd)
+        padded = jnp.zeros(Lw, wd).at[:shard_words].set(words)
+        arc, size = compress(padded)
+        # size exchange: one u32 per device rides the interconnect
+        max_size = jax.lax.pmax(size, axis)
+        return arc[None], max_size[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ag_phase2(
+    mesh: Mesh,
+    axis: str,
+    shard_words: int,
+    dtype_name: str,
+    budget: int,
+    prob_bits: int,
+):
+    dtype = jnp.dtype(dtype_name)
+    ft = _float_type_of(dtype)
+    word = dtype.itemsize
+    Lw = C.round_up(shard_words, C.DEFAULT_BLOCK_SIZE)
+    use_pallas = backend_mod.default_backend() == "pallas"
+    _, decompress, unit, F = _codec(ft, word, Lw, shard_words, prob_bits, use_pallas)
+    bunits = C.round_up(budget, unit) // unit
+    pdt = _U32 if unit == 4 else jnp.uint8
+
+    def local(arcs):
+        payload = jax.lax.dynamic_slice(arcs[0], (0,), (bunits,))
+        gathered = jax.lax.all_gather(payload, axis)
+
+        def decode_one(a):
+            buf = jnp.zeros(max(F // unit, bunits), pdt).at[:bunits].set(a)
+            return decompress(buf)[:shard_words]
+
+        out_words = jax.vmap(decode_one)(gathered)
+        out = jax.lax.bitcast_convert_type(out_words, dtype)
+        n_dev = mesh.devices.size
+        return out.reshape(1, n_dev * shard_words)
+
+    f = shard_map(
+        local, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def compressed_all_gather_auto(
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "dp",
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Two-phase compressed all-gather: compress once, exchange sizes (one
+    u32 per device), then move exactly the bucketed max compressed size per
+    shard over the interconnect. Never falls back to raw — the wire budget
+    is derived from the actual data.
+
+    Returns (full (n_dev, n_dev*shard_words), wire_bytes_per_shard int).
+    """
+    n_dev, shard_words = x.shape
+    assert n_dev == mesh.devices.size
+    word = x.dtype.itemsize
+    dtype_name = jnp.dtype(x.dtype).name
+    x = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    arcs, max_sizes = _build_ag_phase1(
+        mesh, axis, shard_words, dtype_name, prob_bits
+    )(x)
+    # host sync on ONE scalar: the psum'd max compressed size
+    max_size = int(jax.device_get(max_sizes[0]))
+    # bucket to 1/16 of raw (16B-aligned) so phase-2 compiles are cached
+    bucket = max(C.round_up(shard_words * word // 16, 16), 4096)
+    budget = C.round_up(max_size, bucket)
+    out = _build_ag_phase2(
+        mesh, axis, shard_words, dtype_name, budget, prob_bits
+    )(arcs)
+    return out, budget
+
+
 @functools.lru_cache(maxsize=None)
 def _build_all_to_all(
     mesh: Mesh,
@@ -176,34 +308,35 @@ def _build_all_to_all(
     Lw = C.round_up(chunk_words, C.DEFAULT_BLOCK_SIZE)
     n_dev = mesh.devices.size
 
+    use_pallas = backend_mod.default_backend() == "pallas"
+    compress, decompress, unit, F = _codec(
+        ft, word, Lw, chunk_words, prob_bits, use_pallas
+    )
+    bunits = C.round_up(budget, unit) // unit
+    pdt = _U32 if unit == 4 else jnp.uint8
+
     def local(x):
         # x: (1, n_dev, chunk_words); chunk d goes to device d
         chunks = jax.lax.bitcast_convert_type(x[0], wd)  # (n_dev, chunk)
 
         def enc_one(c):
             padded = jnp.zeros(Lw, wd).at[:chunk_words].set(c)
-            arc, size = float_codec_mod.float_compress_padded(
-                padded, chunk_words, ft, prob_bits, False
-            )
-            arcp = jnp.concatenate([arc, jnp.zeros(budget, jnp.uint8)])
-            return jax.lax.dynamic_slice(arcp, (0,), (budget,)), size
+            arc, size = compress(padded)
+            arcp = jnp.concatenate([arc, jnp.zeros(bunits, pdt)])
+            return jax.lax.dynamic_slice(arcp, (0,), (bunits,)), size
 
-        arcs, sizes = jax.vmap(enc_one)(chunks)  # (n_dev, budget), (n_dev,)
+        arcs, sizes = jax.vmap(enc_one)(chunks)  # (n_dev, bunits), (n_dev,)
         fits = (sizes <= _U32(budget)).all()
         all_fit = jax.lax.psum(fits.astype(jnp.int32), axis) == n_dev
 
         def compressed_path(_):
             recv = jax.lax.all_to_all(
                 arcs, axis, split_axis=0, concat_axis=0, tiled=False
-            )  # (n_dev, budget): chunk from each peer
+            )  # (n_dev, bunits): chunk from each peer
 
             def dec_one(a):
-                F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
-                buf = jnp.zeros(max(F, budget), jnp.uint8).at[:budget].set(a)
-                r = float_codec_mod.float_decompress_padded(
-                    buf, ft, Lw, prob_bits, False
-                )
-                return r["out"][:chunk_words]
+                buf = jnp.zeros(max(F // unit, bunits), pdt).at[:bunits].set(a)
+                return decompress(buf)[:chunk_words]
 
             return jax.vmap(dec_one)(recv)
 

@@ -158,3 +158,33 @@ def test_mixed_sizes_batch(rng):
     assert np.all(np.asarray(status) == 1)
     for t, o in zip(ts, outs):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(t))
+
+
+def test_stride_batch_roundtrip(rng):
+    """2-D (batch, stride) convenience (BatchProvider.cuh:39-69 analogue)."""
+    from dietgpu_tpu import api
+
+    B, stride = 4, 6000
+    sizes = [6000, 4096, 1024, 5000]
+    x = rng.standard_normal((B, stride)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    comp, csizes, _ = api.compress_data_stride(True, xb, sizes)
+    arcs = [comp[b, : int(csizes[b])] for b in range(B)]
+    out2d, status, _, tm = api.decompress_data_stride(
+        True, arcs, B, stride, jnp.bfloat16, sizes
+    )
+    assert np.all(np.asarray(status) == 1)
+    assert tm > 0
+    got = np.asarray(jax.lax.bitcast_convert_type(out2d, jnp.uint16))
+    want = np.asarray(jax.lax.bitcast_convert_type(xb, jnp.uint16))
+    for b in range(B):
+        np.testing.assert_array_equal(got[b, : sizes[b]], want[b, : sizes[b]])
+        assert not got[b, sizes[b]:].any()
+
+
+def test_decompress_split_size_alignment_check():
+    from dietgpu_tpu import api
+
+    t_out = jnp.zeros(100, jnp.uint8)
+    with pytest.raises(ValueError, match="4-byte aligned"):
+        api.decompress_data_split_size(False, [jnp.zeros(64, jnp.uint8)], t_out, [33, 67])

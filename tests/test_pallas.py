@@ -218,3 +218,27 @@ def test_pallas_encode_overflow_interpret(interpret_pallas):
         jnp.asarray(data), data.size, 11, False
     )
     assert int(size) & C.SIZE_OVERFLOW_BIT
+
+
+@pytest.mark.parametrize("ft,n", [(2, 4095), (1, 6001)])  # bf16, f16; odd tails
+def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
+    """Fused decode+join tail masking across float types (JoinFloatWriter
+    analogue)."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    x = rng.standard_normal(Lw).astype(np.float32)
+    if ft == C.FLOAT_TYPE_BFLOAT16:
+        w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    else:
+        w = x.astype(np.float16).view(np.uint16)
+    w[n:] = 0
+    arc, size = pfc.float_compress_padded_pallas(jnp.asarray(w), n, ft, 10, False)
+    r = pfc.float_decompress_padded_pallas(arc, ft, Lw, 10, False)
+    assert bool(r["success"])
+    pairs = np.asarray(r["out32"])
+    got = np.zeros(Lw, np.uint16)
+    got[0::2] = pairs & 0xFFFF
+    got[1::2] = pairs >> 16
+    assert np.array_equal(got[:n], w[:n])
+    assert not got[n:].any()

@@ -114,3 +114,33 @@ def test_compressed_all_to_all(mesh, rng):
             np.testing.assert_array_equal(
                 got[d, s].view(np.uint16), expect[s, d].view(np.uint16)
             )
+
+
+def test_compressed_all_gather_auto(mesh, rng):
+    """Two-phase size exchange: wire budget tracks the actual ratio."""
+    from dietgpu_tpu.parallel.collectives import compressed_all_gather_auto
+
+    shard_words = 8192
+    x = rng.standard_normal((N_DEV, shard_words)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    full, wire = compressed_all_gather_auto(xb, mesh)
+    raw = shard_words * 2
+    assert wire < raw, f"wire bytes {wire} should beat raw {raw}"
+    expect = np.asarray(xb).reshape(-1)
+    got = np.asarray(full)
+    for d in range(N_DEV):
+        np.testing.assert_array_equal(
+            got[d].view(np.uint16), expect.view(np.uint16)
+        )
+
+
+def test_compressed_all_gather_f32(mesh, rng):
+    shard_words = 4096
+    x = rng.standard_normal((N_DEV, shard_words)).astype(np.float32)
+    xj = jnp.asarray(x)
+    full, used = compressed_all_gather(xj, mesh)
+    assert np.all(np.asarray(used))
+    got = np.asarray(full)
+    expect = x.reshape(-1)
+    for d in range(N_DEV):
+        np.testing.assert_array_equal(got[d].view(np.uint32), expect.view(np.uint32))
