@@ -47,6 +47,7 @@ W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
 PAGES = MW // 128  # 20 pages of 128 u16 words (zero-extended in i32)
 CHUNK = 16  # steps per input chunk (512 bytes = 128 packed i32)
+BPR = 4  # blocks per sublane row (dense layout)
 
 
 def _taa(tab, idx):
@@ -73,32 +74,44 @@ def _umulhi_i32(a, b):
 
 @functools.lru_cache(maxsize=None)
 def _prefix_matrix():
-    """(128,128) bf16: incl_prefix[l] = sum_{j <= l, j < 32} write[j] via MXU."""
+    """(128,128) bf16 block-diag: incl_prefix[32g+l] = sum_{j <= l} write[32g+j]."""
     m = np.zeros((128, 128), np.float32)
-    for j in range(32):
-        for l in range(j, 32):
-            m[j, l] = 1.0
+    for g in range(4):
+        for j in range(32):
+            for l in range(j, 32):
+                m[32 * g + j, 32 * g + l] = 1.0
     return m
 
 
 def _encode_kernel(
     prob_bits: int,
     T: int,
-    meta_ref,
-    data_ref,
+    meta_ref,  # VMEM (T,128): lanes 32g+0/1 = (steps, rem) of block 4*row+g
+    data_ref,  # VMEM (T,32,128): [r, 8g+c, :] = block 4r+g input chunk c
     pcs_ref,
     magic_ref,
-    pre_ref,
-    words_ref,
-    counts_ref,
-    states_ref,
+    pre_ref,  # VMEM (128,128) bf16 block-diagonal inclusive-prefix matrix
+    words_ref,  # VMEM (T, 4*PAGES, 128): [r, g*PAGES+p, :] = block page p
+    counts_ref,  # VMEM (T,128) per-lane word counts (uniform in group)
+    states_ref,  # VMEM (T,128) lanes 32g.. = final states of block 4r+g
 ):
+    """Dense layout: 4 blocks per sublane row, 32 interleaved rANS lanes per
+    group — every ALU phase runs all 128 VPU lanes (GpuANSEncode.cuh:49-90
+    warp analogue x4). Each group keeps a 32-slot append window; the
+    ballot/popc stream compaction is one block-diagonal MXU prefix matmul
+    and a single cross-group binary search; full windows flush as aligned
+    page QUARTERS straight into the staging pages."""
     lane = jax.lax.broadcasted_iota(_I32, (T, 128), 1)
+    lane31 = lane & 31
+    gid = _srl(lane, 5)
+    gbase = lane & ~31
+    lidx = _srl(lane31, 2)  # u32 index of this lane's byte within 8-u32 step
+    qsh = (lane & 3) << 3
     zeros = jnp.zeros((T, 128), _I32)
 
     meta = meta_ref[:]
-    steps = _taa(meta, zeros)
-    rem = _taa(meta, zeros + 1)
+    steps = _taa(meta, gbase)
+    rem = _taa(meta, gbase | 1)
 
     pcs = [jnp.broadcast_to(pcs_ref[r : r + 1, :], (T, 128)) for r in range(2)]
     magic = [
@@ -106,17 +119,63 @@ def _encode_kernel(
     ]
     pre = pre_ref[:]
 
-    # zero-init the staging pages (flush does read-modify-write)
-    for p in range(PAGES):
+    # zero-init the staging pages (flushes do read-modify-write ORs)
+    for p in range(4 * PAGES):
         words_ref[:, p, :] = zeros
 
-    def one_step(kk, d32, l, carry):
+    def flush_quarters(win, fill2, base, partial):
+        """Store each group's full (or final partial) 32-slot window as an
+        aligned quarter of its block's current page. One branchless union
+        page loop serves all four groups (separate pl.when'd loops per group
+        drown the scalar core in control overhead)."""
+        pggs, qvs, flvs, placed = [], [], [], []
+        for g in range(BPR):
+            colg = zeros + 32 * g
+            flv = _taa(fill2, colg)
+            bsv = _taa(base, colg)
+            ready = (flv > 0) if partial else (flv >= 32)
+            pggs.append(
+                jnp.where(ready, jnp.minimum(_srl(bsv, 7), PAGES - 1), -1)
+            )
+            qvs.append(_srl(bsv, 5) & 3)
+            flvs.append(flv)
+            placed.append(_taa(win, lane31 + 32 * g))
+        quarter = _srl(lane, 5)
+        pmax = jnp.maximum(
+            jnp.maximum(pggs[0], pggs[1]), jnp.maximum(pggs[2], pggs[3])
+        )
+        pmin_c = [jnp.where(p >= 0, p, PAGES) for p in pggs]
+        pmin = jnp.minimum(
+            jnp.minimum(pmin_c[0], pmin_c[1]),
+            jnp.minimum(pmin_c[2], pmin_c[3]),
+        )
+        mx = jnp.max(pmax)
+        lop = jnp.maximum(jnp.min(pmin), 0)
+
+        def body(p, _):
+            for g in range(BPR):
+                sel = (pggs[g] == p) & (quarter == qvs[g])
+                if partial:
+                    sel = sel & (lane31 < flvs[g])
+                slab = words_ref[:, g * PAGES + p, :]
+                words_ref[:, g * PAGES + p, :] = jnp.where(
+                    sel, slab | placed[g], slab
+                )
+            return 0
+
+        jax.lax.fori_loop(lop, mx + 1, body, 0)
+
+    def one_step(kk, loads, l, carry):
         state, win_lo, win_hi, fill, base = carry
         is_tail = kk == steps - 1
         limit = jnp.where(is_tail & (rem > 0), rem, 32)
-        act = (kk < steps) & (lane < limit)
+        act = (kk < steps) & (lane31 < limit)
 
-        sym = _srl(_taa(d32, 8 * l + _srl(lane, 2)), (lane & 3) << 3) & 0xFF
+        idx = lidx + 8 * l
+        d = _taa(loads[0], idx)
+        for g in range(1, BPR):
+            d = jnp.where(gid == g, _taa(loads[g], idx), d)
+        sym = _srl(d, qsh) & 0xFF
         pv = jnp.where(
             sym < 128, _taa(pcs[0], sym & 127), _taa(pcs[1], sym & 127)
         )
@@ -136,54 +195,41 @@ def _encode_kernel(
         mod = state1 - div * pdf
         state2 = jnp.where(act, (div << prob_bits) + mod + cdf, state1)
 
-        # inclusive prefix over lanes (ballot/popc, laneMaskLt analogue)
+        # per-group inclusive prefix (ballot/popc) via one block-diag matmul
         r = jax.lax.dot_general(
             write.astype(jnp.bfloat16), pre, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(_I32)
-        cnt = _taa(r, zeros + 31)  # lane 31 = total writers, broadcast
+        cnt = _taa(r, gbase | 31)
 
-        # append: window slot j receives the (j - fill mod 128)-th writer
-        jj = (lane - fill) & 127
+        # append into the group's 32-slot window; one binary search serves
+        # all four groups (rank gathers are group-offset)
+        jj = (lane31 - fill) & 31
         wsel = zeros
         for b in (16, 8, 4, 2, 1):
             nw = wsel + b
-            v = _taa(r, nw - 1)
+            v = _taa(r, gbase + nw - 1)
             wsel = jnp.where(v < jj + 1, nw, wsel)
-        val = _taa(outv, wsel & 127)
+        val = _taa(outv, gbase | (wsel & 31))
         hit = jj < cnt
-        win_lo = jnp.where(hit & (lane >= fill), val, win_lo)
-        win_hi = jnp.where(hit & (lane < fill), val, win_hi)
-        fill = fill + cnt
+        win_lo = jnp.where(hit & (lane31 >= fill), val, win_lo)
+        win_hi = jnp.where(hit & (lane31 < fill), val, win_hi)
+        fill2 = fill + cnt
 
-        # flush full windows to the paged staging buffer; clamp the page on
-        # block overflow (> MW words) so the store stays in bounds — the
-        # overflow is flagged in the returned size (GpuANSEncode.cuh:355-360)
-        flushing = fill >= 128
-        pg = jnp.where(flushing, jnp.minimum(_srl(base, 7), PAGES - 1), -1)
-        any_flush = jnp.max(pg)
-
-        @pl.when(any_flush >= 0)
-        def _():
-            lop = jnp.maximum(jnp.min(jnp.where(flushing, pg, PAGES)), 0)
-
-            def page_body(p, wl):
-                slab = words_ref[:, p, :]
-                words_ref[:, p, :] = jnp.where(pg == p, wl, slab)
-                return wl
-
-            jax.lax.fori_loop(lop, any_flush + 1, page_body, win_lo)
-
+        # full windows -> page quarters (page clamped on block overflow,
+        # which is flagged in the returned size; GpuANSEncode.cuh:355-360)
+        flush_quarters(win_lo, fill2, base, partial=False)
+        flushing = fill2 >= 32
         win_lo = jnp.where(flushing, win_hi, win_lo)
         win_hi = jnp.where(flushing, 0, win_hi)
-        base = base + jnp.where(flushing, 128, 0)
-        fill = fill - jnp.where(flushing, 128, 0)
+        base = base + jnp.where(flushing, 32, 0)
+        fill = fill2 - jnp.where(flushing, 32, 0)
         return state2, win_lo, win_hi, fill, base
 
     def chunk_body(c, carry):
-        d32 = data_ref[:, c, :]
+        loads = [data_ref[:, 8 * g + c, :] for g in range(BPR)]
         for l in range(CHUNK):
-            carry = one_step(c * CHUNK + l, d32, l, carry)
+            carry = one_step(c * CHUNK + l, loads, l, carry)
         return carry
 
     init = (
@@ -197,20 +243,8 @@ def _encode_kernel(
         0, S // CHUNK, chunk_body, init
     )
 
-    # final flush of the partial window (lanes >= fill already zero)
-    pg = jnp.where(fill > 0, jnp.minimum(_srl(base, 7), PAGES - 1), -1)
-    hi_p = jnp.max(pg)
-
-    @pl.when(hi_p >= 0)
-    def _():
-        lop = jnp.maximum(jnp.min(jnp.where(fill > 0, pg, PAGES)), 0)
-
-        def page_body(p, wl):
-            slab = words_ref[:, p, :]
-            words_ref[:, p, :] = jnp.where(pg == p, wl, slab)
-            return wl
-
-        jax.lax.fori_loop(lop, hi_p + 1, page_body, win_lo)
+    # final partial-window flush
+    flush_quarters(win_lo, fill, base, partial=True)
 
     counts_ref[:] = base + fill
     states_ref[:] = state
@@ -218,20 +252,21 @@ def _encode_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build_encode_call(NBp: int, prob_bits: int, T: int):
-    grid = NBp // T
+    grid = NBp // (BPR * T)
     kernel = functools.partial(_encode_kernel, prob_bits, T)
+    NR = NBp // BPR
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((NBp, PAGES, 128), _I32),
-            jax.ShapeDtypeStruct((NBp, 128), _I32),
-            jax.ShapeDtypeStruct((NBp, 128), _I32),
+            jax.ShapeDtypeStruct((NR, BPR * PAGES, 128), _I32),
+            jax.ShapeDtypeStruct((NR, 128), _I32),
+            jax.ShapeDtypeStruct((NR, 128), _I32),
         ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (T, S // CHUNK, 128), lambda i: (i, 0, 0),
+                (T, BPR * (S // CHUNK), 128), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -240,7 +275,8 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int):
         ],
         out_specs=(
             pl.BlockSpec(
-                (T, PAGES, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (T, BPR * PAGES, 128), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -273,28 +309,31 @@ def _assembly_kernel(
 
     tilebuf[0:8, :] = spill[:]  # rows shared with the previous tile
 
-    def block_body(b, _):
-        slab = staged_ref[b]  # (PAGES, 128) words, zero-extended
-        pairs = slab.reshape(PAGES // 2, 2, 128)
-        even = pairs[:, 0, :]  # (10,128) pages 0,2,..
-        odd = pairs[:, 1, :]
-        il = (2 * lane) & 127
-        lo_sel = lane < 64
-        w0 = jnp.where(lo_sel, _taa(even, il), _taa(odd, il))
-        w1 = jnp.where(lo_sel, _taa(even, il + 1), _taa(odd, il + 1))
-        packed = w0 | (w1 << 16)  # (10,128) u16-pair u32s
+    def row_body(rr, _):
+        for g in range(BPR):
+            b = BPR * rr + g
+            # dense staging: [rr, g*PAGES + p, :] = block 4rr+g page p
+            slab = staged_ref[rr, g * PAGES : (g + 1) * PAGES, :]
+            pairs = slab.reshape(PAGES // 2, 2, 128)
+            even = pairs[:, 0, :]  # (10,128) pages 0,2,..
+            odd = pairs[:, 1, :]
+            il = (2 * lane) & 127
+            lo_sel = lane < 64
+            w0 = jnp.where(lo_sel, _taa(even, il), _taa(odd, il))
+            w1 = jnp.where(lo_sel, _taa(even, il + 1), _taa(odd, il + 1))
+            packed = w0 | (w1 << 16)  # (10,128) u16-pair u32s
 
-        rot = drot_ref[i * T + b]
-        rolled = pltpu.roll(packed, rot, 1)
-        mge = lane >= rot
-        dloc = dloc_ref[i * T + b]
-        cur = tilebuf[pl.ds(dloc, 10), :]
-        tilebuf[pl.ds(dloc, 10), :] = cur | jnp.where(mge, rolled, 0)
-        cur2 = tilebuf[pl.ds(dloc + 1, 10), :]
-        tilebuf[pl.ds(dloc + 1, 10), :] = cur2 | jnp.where(mge, 0, rolled)
+            rot = drot_ref[i * T + b]
+            rolled = pltpu.roll(packed, rot, 1)
+            mge = lane >= rot
+            dloc = dloc_ref[i * T + b]
+            cur = tilebuf[pl.ds(dloc, 10), :]
+            tilebuf[pl.ds(dloc, 10), :] = cur | jnp.where(mge, rolled, 0)
+            cur2 = tilebuf[pl.ds(dloc + 1, 10), :]
+            tilebuf[pl.ds(dloc + 1, 10), :] = cur2 | jnp.where(mge, 0, rolled)
         return 0
 
-    jax.lax.fori_loop(0, T, block_body, 0, unroll=False)
+    jax.lax.fori_loop(0, T // BPR, row_body, 0, unroll=False)
 
     spill[:] = tilebuf[pl.ds(srow_ref[i], 8), :]
 
@@ -315,7 +354,7 @@ def _build_assembly_call(NBp: int, T: int, PR: int):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (T, PAGES, 128), lambda i, *_: (i, 0, 0),
+                (T // BPR, BPR * PAGES, 128), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -360,15 +399,23 @@ def _encode_stage1(
     uncomp = jnp.where(bidx == nb - 1, tail, uncomp)
     steps = (uncomp + W - 1) // W
     remainder = uncomp % W
-    meta = jnp.zeros((NBp, 128), _I32)
-    meta = meta.at[:, 0].set(steps).at[:, 1].set(remainder)
+    NR = NBp // BPR
+    meta3 = jnp.zeros((NR, BPR, W), _I32)
+    meta3 = (
+        meta3.at[:, :, 0]
+        .set(steps.reshape(NR, BPR))
+        .at[:, :, 1]
+        .set(remainder.reshape(NR, BPR))
+    )
+    meta = meta3.reshape(NR, 128)
 
     d32 = data32
     if NBp > NB:
         d32 = jnp.concatenate([d32, jnp.zeros((NBp - NB) * S * W // 4, _I32)])
-    d32 = d32.reshape(NBp, S // CHUNK, 128)
+    # dense input layout: [r, 8g+c, :] = block 4r+g chunk c (pure reshape)
+    d32 = d32.reshape(NR, BPR * (S // CHUNK), 128)
 
-    call = _build_encode_call(NBp, prob_bits, T)
+    call = _build_encode_call(NBp, prob_bits, T // BPR)
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
     checksum = _U32(0)
@@ -393,11 +440,12 @@ def _encode_stage2(
     else:
         nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
     bidx = jnp.arange(NBp, dtype=_I32)
-    words = jnp.where(bidx < nb, counts[:, 0], 0)
+    counts_blk = counts.reshape(NBp // BPR, BPR, W)[:, :, 0].reshape(NBp)
+    words = jnp.where(bidx < nb, counts_blk, 0)
     # dead padding blocks carry the initial rANS state (2^15); zero them so
     # the states DUS (static NBp*32 size) writes zeros past the live section
     states = jnp.where(
-        (bidx < nb)[:, None], states_out[:, :W].astype(_U32), _U32(0)
+        (bidx < nb)[:, None], states_out.reshape(NBp, W).astype(_U32), _U32(0)
     )
 
     words_padded = C.round_up(words, C.WORDS_PER_ALIGN)
@@ -521,9 +569,10 @@ def ans_encode_padded_pallas(
             hist, jnp.asarray(length, _I32).astype(_U32), prob_bits
         )
 
-    T = min(block_tile, max(8, NB))
-    while T % 8 != 0:
-        T += 1
+    # T counts BLOCKS per tile; the dense kernel rides 4 per sublane row,
+    # so tiles are multiples of 32 blocks (rows multiple of 8)
+    T = max(32, min(block_tile, C.round_up(NB, 32)))
+    T = C.round_up(T, 32)
     NBp = C.round_up(NB, T)
 
     static_n = length if isinstance(length, int) else None
@@ -578,9 +627,8 @@ def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
     fast path holds for archives of any compressibility.
     """
     NB = padded_len // C.DEFAULT_BLOCK_SIZE
-    T = min(block_tile, max(8, NB))
-    while T % 8 != 0:
-        T += 1
+    T = max(32, min(block_tile, C.round_up(NB, 32)))
+    T = C.round_up(T, 32)
     NBp = C.round_up(NB, T)
     sect_rows = C.div_up(136 + NBp * 34 + 4, 128)
     return 512 * (sect_rows + NBp * (PAGES // 2) + DECODE_DMA_SLACK_ROWS)
