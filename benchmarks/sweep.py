@@ -35,6 +35,12 @@ def main():
     K = 3
     # the tunnel's chain-closing readback costs ~34 ms fixed; amortize it
     iters = 32
+    # chunked runs (slow remote compiles): restrict rows and merge results
+    only = os.environ.get("DIETGPU_SWEEP_ONLY", "")  # e.g. "bf16,f16,ans,batch"
+    merge = os.environ.get("DIETGPU_SWEEP_MERGE") == "1"
+
+    def want(tag):
+        return not only or tag in only.split(",")
     rng = np.random.default_rng(0)
     results = []
 
@@ -49,7 +55,11 @@ def main():
         _ = np.asarray(leaf[(0,) * leaf.ndim])
         return (time.perf_counter() - t0) / iters
 
-    sizes_m = [1, 16, 64] if quick else [1, 4, 16, 64, 128]
+    sizes_env = os.environ.get("DIETGPU_SWEEP_SIZES")
+    if sizes_env:
+        sizes_m = [int(x) for x in sizes_env.split(",")]
+    else:
+        sizes_m = [1, 16, 64] if quick else [1, 4, 16, 64, 128]
 
     # ---- float codec sweep ----
     for ft, name in (
@@ -57,6 +67,8 @@ def main():
         (C.FLOAT_TYPE_FLOAT16, "f16"),
         (C.FLOAT_TYPE_FLOAT32, "f32"),
     ):
+        if not want(name):
+            continue
         wordsize = C.float_word_size(ft)
         for m in sizes_m:
             n = m << 20
@@ -97,7 +109,7 @@ def main():
                   flush=True)
 
     # ---- raw ANS codec sweep (exponential bytes) ----
-    for pb in ([10] if quick else [9, 10, 11]):
+    for pb in ([10] if quick else [9, 10, 11]) if want("ans") else []:
         m = 32
         n = m << 20
         L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
@@ -127,7 +139,7 @@ def main():
 
     # ---- batched scenario: 128 x 512Ki bf16 (reference benchmark.py:149-221
     # runs the same non-batched vs 128-way-batched comparison) ----
-    if not quick:
+    if not quick and want("batch"):
         B, nw = 128, 512 * 1024
         Lw = C.round_up(nw, C.DEFAULT_BLOCK_SIZE)
         ft = C.FLOAT_TYPE_BFLOAT16
@@ -158,6 +170,11 @@ def main():
               flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    if merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f).get("rows", [])
+        seen = {(r["codec"], r["mwords"]) for r in results}
+        results = [r for r in old if (r["codec"], r["mwords"]) not in seen] + results
     with open(out_path, "w") as f:
         json.dump(
             {"device": str(jax.devices()[0].device_kind), "rows": results}, f,

@@ -164,7 +164,9 @@ def float_decompress_padded_pallas(
         res = pdec.ans_decode_padded_pallas(
             arc, prob_bits, Lw, verify_checksum=False,
             arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
-            fuse_float=float_type, block_tile=384,
+            # T=80 rows: the largest fused-join tile under the 16 MB scoped
+            # VMEM limit (T=96 overflows by ~0.5 MB on some shapes)
+            fuse_float=float_type, block_tile=320,
         )
     pairs = res["out"]
     ans_n = res["size"].astype(_I32)
