@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from . import layout
-from .checksum import checksum_u8
+from .checksum import checksum_u32
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
@@ -649,14 +649,13 @@ def ans_decode_padded_pallas(
     if return_u32:
         result["out"] = out32
         if verify_checksum:
-            out = layout.u32_to_u8le(out32)
-            actual = checksum_u8(out, n)
+            actual = checksum_u32(out32, n)
             result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
         return result
 
     out = layout.u32_to_u8le(out32)
     result["out"] = out
     if verify_checksum:
-        actual = checksum_u8(out, n)
+        actual = checksum_u32(out32, n)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result

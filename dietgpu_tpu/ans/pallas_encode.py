@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as C
 from . import layout
 from . import stats
-from .checksum import checksum_u8
+from .checksum import checksum_u32
 from ..profiling import annotate
 
 _I32 = jnp.int32
@@ -420,8 +420,7 @@ def _encode_stage1(
 
     checksum = _U32(0)
     if use_checksum:
-        data_u8 = layout.u32_to_u8le(data32.astype(_U32))
-        checksum = checksum_u8(data_u8, length)
+        checksum = checksum_u32(data32, length)
     return staged, counts, states_out, uncomp, checksum
 
 

@@ -97,10 +97,9 @@ def float_compress_padded_pallas(
 
     checksum = _U32(0)
     if use_checksum:
-        from ..ans.checksum import checksum_u8
-        from ..ans import layout
+        from ..ans.checksum import checksum_u32
 
-        checksum = checksum_u8(layout.u32_to_u8le(pairs), length * 2)
+        checksum = checksum_u32(pairs, length * 2)
 
     header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
     header = header.at[1].set(length.astype(_U32))
@@ -180,10 +179,9 @@ def float_decompress_padded_pallas(
         "checksum_ok": jnp.bool_(True),
     }
     if verify_checksum:
-        from ..ans.checksum import checksum_u8
-        from ..ans import layout
+        from ..ans.checksum import checksum_u32
 
-        actual = checksum_u8(layout.u32_to_u8le(pairs), n_eff * 2)
+        actual = checksum_u32(pairs, n_eff * 2)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result
 
@@ -211,10 +209,9 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
 
     checksum = _U32(0)
     if use_checksum:
-        from ..ans.checksum import checksum_u8
-        from ..ans import layout
+        from ..ans.checksum import checksum_u32
 
-        checksum = checksum_u8(layout.u32_to_u8le(wz), length * 4)
+        checksum = checksum_u32(wz, length * 4)
 
     header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
     header = header.at[1].set(length.astype(_U32))
@@ -284,9 +281,8 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
         "checksum_ok": jnp.bool_(True),
     }
     if verify_checksum:
-        from ..ans.checksum import checksum_u8
-        from ..ans import layout
+        from ..ans.checksum import checksum_u32
 
-        actual = checksum_u8(layout.u32_to_u8le(words), n_eff * 4)
+        actual = checksum_u32(words, n_eff * 4)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result

@@ -242,3 +242,80 @@ def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
     got[1::2] = pairs >> 16
     assert np.array_equal(got[:n], w[:n])
     assert not got[n:].any()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+@pytest.mark.parametrize("ft", [1, 2, 3])
+def test_pallas_float_tpu_bitexact(rng, ft):
+    """Hardware float-codec roundtrip + archive parity vs the XLA path
+    (promotes experiments/validate_float.py into the suite)."""
+    from dietgpu_tpu.floatcodec import codec as fcodec
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    n = 1_000_000
+    Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    x = rng.standard_normal(Lw).astype(np.float32)
+    if ft == C.FLOAT_TYPE_BFLOAT16:
+        w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    elif ft == C.FLOAT_TYPE_FLOAT16:
+        w = x.astype(np.float16).view(np.uint16)
+    else:
+        w = x.view(np.uint32).copy()
+    w[n:] = 0
+    if ft == C.FLOAT_TYPE_FLOAT32:
+        wj = jnp.asarray(w)
+    else:
+        wj = jnp.asarray(w.view(np.uint32))
+    arc_x, size_x = jax.jit(
+        lambda v: fcodec.float_compress_padded(
+            jnp.asarray(w), n, ft, 10, False
+        )
+    )(wj)
+    arc_p, size_p = jax.jit(
+        lambda v: pfc.float_compress_padded_pallas(v, n, ft, 10, False)
+    )(wj)
+    sx = int(size_x)
+    assert sx == int(size_p)
+    assert np.array_equal(
+        np.asarray(arc_x)[:sx], np.asarray(arc_p).view(np.uint8)[:sx]
+    )
+    r = jax.jit(
+        lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False)
+    )(arc_p)
+    assert bool(r["success"])
+    out32 = np.asarray(r["out32"])
+    if ft == C.FLOAT_TYPE_FLOAT32:
+        assert np.array_equal(out32[:n], w[:n])
+    else:
+        got = np.zeros(Lw, np.uint16)
+        got[0::2] = out32 & 0xFFFF
+        got[1::2] = out32 >> 16
+        assert np.array_equal(got[:n], w[:n])
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+def test_pallas_ans_tpu_mixed_compressibility(rng):
+    """Mixed incompressible/constant/skewed regions in one buffer stress the
+    decoder's stream-window page spread on hardware (promotes
+    experiments/validate_decode.py's 'mixed' case)."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    mix = np.concatenate(
+        [
+            rng.integers(0, 256, 300_000),
+            np.zeros(300_000, np.int64),
+            rng.integers(0, 64, 300_000),
+        ]
+    ).astype(np.uint8)
+    n = mix.size
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = mix
+    dj = jnp.asarray(padded)
+    arc, size = jax.jit(
+        lambda d: penc.ans_encode_padded_pallas(d, n, 10, False)
+    )(dj)
+    r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, 10, L, False))(arc)
+    assert bool(r["success"])
+    assert np.array_equal(np.asarray(r["out"])[:n], mix)
