@@ -152,8 +152,12 @@ def main():
         bcompress = jax.jit(
             jax.vmap(lambda w: pfc.float_compress_padded_pallas(w, nw, ft, 10, False))
         )
+        # decode: ONE multi-archive grid with per-row tables (vmap of the
+        # single-archive kernel serializes the 128 small grids)
         bdecompress = jax.jit(
-            jax.vmap(lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False))
+            lambda a: pfc.float_decompress_batched_pallas(
+                a, ft, Lw, 10, static_length=nw
+            )
         )
         arcs = [bcompress(b)[0] for b in batches]
         sizes = np.asarray(bcompress(batches[0])[1])

@@ -114,6 +114,7 @@ def _decode_kernel(
     prob_bits: int,
     T: int,
     fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
+    per_row_tables: bool,
     *refs,
 ):
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
@@ -121,13 +122,21 @@ def _decode_kernel(
     the reference's fused JoinFloatWriter decode
     (GpuFloatDecompress.cuh:391-521): decoded exponent bytes meet the
     nonComp plane rows (a regular pipelined input) and leave as finished
-    float words, never round-tripping through HBM."""
+    float words, never round-tripping through HBM.
+
+    With per_row_tables, the symbol/pdfcdf tables are per-sublane-row
+    inputs instead of grid-wide broadcasts — each row can decode against a
+    DIFFERENT probability table, so one grid decodes a whole batch of
+    independent archives (the reference's grid-stride batch loop,
+    GpuANSDecode.cuh:362-402). Zero in-kernel cost: the lane gathers need
+    (T,128) operands either way."""
     if fuse_ft is None:
         (
             tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA
             lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
-            meta_ref,  # VMEM (T,128): per group g lanes 32g+0..3 =
-            #            (steps, rem, cwords, off32) of block 4*row+g
+            meta_ref,  # VMEM (T,128): per group g lanes 32g+0..5 =
+            #            (steps, rem, cwords, off32, wordbase, nwords)
+            #            of block 4*row + g
             states_ref,  # VMEM (T,128): lanes 32g.. = states of block 4r+g
             symtab_ref,
             pdfcdf_ref,
@@ -143,12 +152,11 @@ def _decode_kernel(
             st3,
             dma_sem,
         ) = refs
-        nn_ref = nc_ref = None
+        nc_ref = None
     else:
         (
             tile_row0_ref,
             lrow_ref,
-            nn_ref,  # SMEM (1,) total float words (for tail masking)
             meta_ref,
             states_ref,
             symtab_ref,
@@ -176,7 +184,6 @@ def _decode_kernel(
     gid = _srl(lane, 5)  # lane group 0..3
     gbase = lane & ~31
     zeros = jnp.zeros((T, 128), _I32)
-    riota = jax.lax.broadcasted_iota(_I32, (T, 128), 0)
     sh0 = ((2 * lane) & 3) << 3  # byte shifts for the fused join
     sh1 = ((2 * lane + 1) & 3) << 3
 
@@ -206,13 +213,24 @@ def _decode_kernel(
     rem = _taa(meta, gbase | 1)
     cwords = _taa(meta, gbase | 2)
     off32 = _taa(meta, gbase | 3)
+    if fuse_ft is not None:
+        # member-local word base / total word count of block (r, g),
+        # broadcast to all 128 lanes per group (loop-invariant)
+        wb_g = [_taa(meta, zeros + (32 * g | 4)) for g in range(BPR)]
+        nn_g = [_taa(meta, zeros + (32 * g | 5)) for g in range(BPR)]
 
-    symtab = [
-        jnp.broadcast_to(symtab_ref[r : r + 1, :], (T, 128)) for r in range(SR)
-    ]
-    pdfcdf = [
-        jnp.broadcast_to(pdfcdf_ref[r : r + 1, :], (T, 128)) for r in range(2)
-    ]
+    if per_row_tables:
+        symtab = [symtab_ref[:, r, :] for r in range(SR)]
+        pdfcdf = [pdfcdf_ref[:, r, :] for r in range(2)]
+    else:
+        symtab = [
+            jnp.broadcast_to(symtab_ref[r : r + 1, :], (T, 128))
+            for r in range(SR)
+        ]
+        pdfcdf = [
+            jnp.broadcast_to(pdfcdf_ref[r : r + 1, :], (T, 128))
+            for r in range(2)
+        ]
     plo = [plo_ref[d] for d in range(4)]
     phi = [phi_ref[d] for d in range(4)]
     suf = suf_ref[:]
@@ -338,9 +356,7 @@ def _decode_kernel(
             # finished float word-pairs (JoinFloatWriter analogue,
             # GpuFloatUtils.cuh:111-159), tail-masked by the word count
             nc_row = nc_ref[:, 8 * g + cc, :]
-            wbase = (i * (BPR * T) + BPR * riota + g) * (
-                C.DEFAULT_BLOCK_SIZE
-            ) + cc * 512
+            wbase = wb_g[g] + cc * 512
             for p in range(2):
                 qidx = 64 * p + _srl(lane, 1)
                 eb = _taa(row, qidx)
@@ -359,7 +375,7 @@ def _decode_kernel(
                     w1j = (c1 << 8) | m1
                 pair = w0j | (w1j << 16)
                 widx0 = wbase + 256 * p + 2 * lane
-                nn = nn_ref[0]
+                nn = nn_g[g]
                 pair = jnp.where(
                     widx0 + 1 < nn, pair,
                     jnp.where(widx0 < nn, pair & 0xFFFF, 0),
@@ -380,18 +396,44 @@ def _decode_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int, fuse_ft=None):
+def _build_decode_call(
+    NBp: int,
+    prob_bits: int,
+    T: int,
+    XR: int,
+    fuse_ft=None,
+    per_row_tables: bool = False,
+):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = BPR * T * (MW // 256) + 48
 
-    kernel = functools.partial(_decode_kernel, prob_bits, T, fuse_ft)
+    kernel = functools.partial(
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables
+    )
+    if per_row_tables:
+        table_specs = [
+            pl.BlockSpec(
+                (T, SR, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (T, 2, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec(
+                (SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
     small = [
         pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((SR, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        *table_specs,
         pl.BlockSpec(
             (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -400,8 +442,8 @@ def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int, fuse_ft=None):
         ),
         pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
     ]
+    n_prefetch = 2
     if fuse_ft is None:
-        n_prefetch = 2
         in_specs = small + [pl.BlockSpec(memory_space=pl.ANY)]
         out_spec = pl.BlockSpec(
             (T, S // CHUNK * BPR, 128), lambda i, *_: (i, 0, 0),
@@ -411,7 +453,6 @@ def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int, fuse_ft=None):
             (NBp // BPR, S // CHUNK * BPR, 128), _I32
         )
     else:
-        n_prefetch = 3  # + nn (total words)
         in_specs = small + [
             pl.BlockSpec(
                 (T, 32, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -437,16 +478,32 @@ def _build_decode_call(NBp: int, prob_bits: int, T: int, XR: int, fuse_ft=None):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        # v5e has 128 MB physical VMEM; the default 16 MB scoped budget
+        # capped fused tiles at T=80. Raising it lets larger tiles amortize
+        # per-vector-op fixed overhead across more sublane rows.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )
 
 
 def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
     """XLA prologue: packed symbol LUT + (pdf | cdf<<12) table."""
     K = 1 << prob_bits
     SR = max(K // 512, 1)
-    incl = jnp.cumsum(pdf.astype(_U32))
-    slots = jnp.arange(K, dtype=_U32)
-    sym = jnp.searchsorted(incl, slots, side="right").astype(_U32)
+    incl = jnp.cumsum(pdf.astype(_I32))
+    slots = jnp.arange(K, dtype=_I32)
+    # searchsorted(incl, slot, 'right') == #(incl <= slot); the comparison
+    # matrix lowers to pure vector compares + a reduce, which stays fast
+    # under vmap — searchsorted lowers to gathers (~1000x slower on TPU
+    # when vmapped over a batch of archives)
+    sym = jnp.sum(
+        (incl[None, :] <= slots[:, None]).astype(_I32), axis=1
+    ).astype(_U32)
     sym = jnp.minimum(sym, _U32(C.NUM_SYMBOLS - 1))
     packed = sym.reshape(-1, 4)
     symtab = (
@@ -455,7 +512,7 @@ def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
         | (packed[:, 2] << 16)
         | (packed[:, 3] << 24)
     )
-    cdf = incl - pdf.astype(_U32)
+    cdf = incl.astype(_U32) - pdf.astype(_U32)
     pdfcdf = pdf.astype(_U32) | (cdf << 12)
     return (
         symtab.astype(_I32).reshape(SR, 128),
@@ -576,7 +633,9 @@ def ans_decode_padded_pallas(
     row0 = s32 >> 7  # s32 is non-negative i32, arithmetic shift is fine
     off32 = s32 & 127
 
-    # dense meta: lanes 32g+0..3 of row r = fields of block 4r+g
+    # dense meta: lanes 32g+0..5 of row r = fields of block 4r+g
+    # (lanes 4/5 feed the fused join's tail masking: member-local word base
+    # and total word count — per-block so one grid can span many archives)
     meta3 = jnp.zeros((NR, BPR, W), _I32)
     meta3 = (
         meta3.at[:, :, 0]
@@ -587,6 +646,10 @@ def ans_decode_padded_pallas(
         .set(cwords.reshape(NR, BPR))
         .at[:, :, 3]
         .set(off32.reshape(NR, BPR))
+        .at[:, :, 4]
+        .set((bidx * C.DEFAULT_BLOCK_SIZE).reshape(NR, BPR))
+        .at[:, :, 5]
+        .set(jnp.clip(n, 0, out_max))
     )
     meta = meta3.reshape(NR, 128)
 
@@ -630,9 +693,8 @@ def ans_decode_padded_pallas(
             arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
         )
         nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
-        nn = jnp.clip(n, 0, out_max).reshape(1)
         out = call(
-            tile_row0, lrow, nn, meta, states128, symtab, pdfcdf, plo, phi,
+            tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
             suf, nc3, arc_rows,
         )
         result["out"] = out.reshape(NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
@@ -658,4 +720,218 @@ def ans_decode_padded_pallas(
     if verify_checksum:
         actual = checksum_u32(out32, n)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+    return result
+
+
+def ans_decode_batched_pallas(
+    archives: jnp.ndarray,
+    prob_bits: int,
+    out_max: int,
+    block_tile: int = 512,
+    arc_base=None,
+    arc_base_bound: int = 0,
+    fuse_float=None,
+    static_nb: int | None = None,
+):
+    """Decode B independent archives with ONE kernel grid.
+
+    The TPU analogue of the reference's batched decode (a grid-stride loop
+    over batch elements, GpuANSDecode.cuh:362-402): every sublane row
+    carries its own member's symbol/pdfcdf tables (per-row table inputs),
+    so the whole batch is one `pallas_call` — vmap over the single-archive
+    kernel would serialize the B small grids instead.
+
+    Args:
+      archives: (B, F4) u32 — member m's archive starts at word m*F4. Use
+        `float_archive_u32_bytes` / `archive_buffer_bytes_pallas` strides so
+        each member's region carries the fast-path DMA slack.
+      out_max: per-member output byte capacity (equal across members; the
+        actual sizes may be ragged — they come from each member's header).
+      arc_base: None, a python int (same for every member), or (B,) i32 —
+        member-local u32 offsets of the embedded ANS archives (float
+        containers); `arc_base_bound` bounds them.
+      fuse_float: FLOAT_TYPE_FLOAT16/BFLOAT16 for the fused decode+join.
+      static_nb: per-member block count when known at trace time. With a
+        static arc_base this makes EVERY per-member section offset static,
+        so the vmapped prologue lowers to plain strided slices — without
+        it, member-dependent `dynamic_slice` starts become XLA gathers,
+        which run ~1000x slower than copies on this TPU and dominate the
+        whole decode.
+
+    Returns dict: out (B, out_max//4) u32 raw bytes (or (B, out_max//2)
+    float word-pairs when fused), size (B,) u32, success (B,) bool.
+    """
+    assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
+    B, F4 = archives.shape
+    assert archives.dtype in (_U32, jnp.int32)
+    NB = out_max // C.DEFAULT_BLOCK_SIZE
+    T = max(8, min(block_tile, C.round_up(NB, BPR)) // BPR)
+    T = C.round_up(T, 8)
+    NBp = C.round_up(NB, BPR * T)  # per member; tiles never span members
+    NR = NBp // BPR
+    RT = BPR * T * (MW // 256) + 48
+    K = 1 << prob_bits
+    SR = max(K // 512, 1)
+
+    # fast-path guarantees, per member (same bounds as the single driver)
+    assert F4 % 128 == 0, "member stride must be 512-byte aligned"
+    F4r = F4 // 128
+    sect_end = arc_base_bound + 136 + NBp * W + 2 * NBp + 2
+    dma_end_rows = (
+        C.div_up(arc_base_bound + 138 + 34 * NBp, 128)
+        + NBp * (MW // 256)
+        + RT
+        + 2
+    )
+    assert F4r >= dma_end_rows and F4 >= sect_end, (
+        "member stride lacks DMA slack: use archive_buffer_bytes_pallas/"
+        "float_archive_u32_bytes strides"
+    )
+    if fuse_float is not None:
+        assert arc_base is not None
+        assert F4 >= 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
+    static_base = (
+        arc_base if isinstance(arc_base, int)
+        else (0 if arc_base is None else None)
+    )
+    if static_base is None:
+        bases = jnp.asarray(arc_base, _I32)
+        assert bases.shape == (B,)
+    else:
+        bases = jnp.zeros(B, _I32)  # unused
+    # the member geometry is fully static iff both base and nb are static
+    nb_s = min(static_nb, NB) if static_nb is not None else None
+    static_geom = static_base is not None and nb_s is not None
+
+    def member_prologue(arc32, base):
+        # mirrors the single-archive fast-path prologue above. With
+        # static_geom every slice start below is a python int, so vmap
+        # emits strided slices; otherwise member-dependent starts lower
+        # to (slow) gathers — acceptable only for the ragged general case.
+        arc32 = arc32.astype(_U32)
+        if static_base is not None:
+            base = static_base
+        h = jax.lax.dynamic_slice(arc32, (base,), (8,))
+        magic_ok = h[0] == _U32((C.ANS_MAGIC << 16) | C.ANS_VERSION)
+        nb = h[1].astype(_I32)
+        n = h[2].astype(_I32)
+        options = h[4]
+        pb_ok = (options & _U32(0xF)) == _U32(prob_bits)
+        success = magic_ok & pb_ok & (n <= _I32(out_max))
+        nb_eff = jnp.clip(nb, 0, NB)
+
+        pw = jax.lax.dynamic_slice(arc32, (base + 8,), (128,))
+        pdf = jnp.zeros(C.NUM_SYMBOLS, _U32)
+        pdf = (
+            pdf.at[0::2].set(pw & _U32(0xFFFF)).at[1::2].set(pw >> _U32(16))
+        )
+        symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
+
+        bidx = jnp.arange(NBp, dtype=_I32)
+        if static_geom:
+            # geometry from the static block count; a header mismatch
+            # cannot corrupt memory (reads stay in the member's region) —
+            # it just fails the success flag
+            success = success & (nb == nb_s)
+            live = (bidx < nb_s) & (bidx < nb_eff)
+            bw_start = base + 136 + nb_s * W
+            rnb2 = nb_s + (nb_s & 1)
+        else:
+            live = bidx < nb_eff
+            bw_start = base + 136 + nb_eff * W
+            rnb2 = nb_eff + (nb_eff & 1)
+        bw_flat = jax.lax.dynamic_slice(arc32, (bw_start,), (2 * NBp + 2,))
+        bw_x = jnp.where(live, bw_flat[0:-2:2], _U32(0))
+        bw_y = jnp.where(live, bw_flat[1:-1:2], _U32(0))
+        uncomp = (bw_x >> _U32(16)).astype(_I32)
+        cwords = (bw_x & _U32(0xFFFF)).astype(_I32)
+        starts = bw_y.astype(_I32)
+        ds32 = bw_start + rnb2 * 2
+
+        steps = (uncomp + W - 1) // W
+        remainder = uncomp % W
+        s32 = ds32 + (starts >> 1)
+        row0 = s32 >> 7
+        off32 = s32 & 127
+
+        meta3 = jnp.zeros((NR, BPR, W), _I32)
+        meta3 = (
+            meta3.at[:, :, 0]
+            .set(steps.reshape(NR, BPR))
+            .at[:, :, 1]
+            .set(remainder.reshape(NR, BPR))
+            .at[:, :, 2]
+            .set(cwords.reshape(NR, BPR))
+            .at[:, :, 3]
+            .set(off32.reshape(NR, BPR))
+            .at[:, :, 4]
+            .set((bidx * C.DEFAULT_BLOCK_SIZE).reshape(NR, BPR))
+            .at[:, :, 5]
+            .set(jnp.clip(n, 0, out_max))
+        )
+        meta = meta3.reshape(NR, 128)
+
+        st_flat = jax.lax.dynamic_slice(arc32, (base + 136,), (NBp * W,))
+        states = st_flat.reshape(NBp, W)
+        states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
+        states128 = states.astype(_I32).reshape(NR, 128)
+        return meta, states128, symtab, pdfcdf, row0, success, n
+
+    meta, states128, symtab, pdfcdf, row0, success, n = jax.vmap(
+        member_prologue
+    )(archives, bases)
+
+    need_rows = B * F4r
+    glob_row0 = (row0 + (jnp.arange(B, dtype=_I32) * F4r)[:, None]).reshape(
+        B * NBp
+    )
+    tile_row0 = glob_row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
+    tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
+    lrow = jnp.clip(
+        glob_row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
+    )
+
+    meta = meta.reshape(B * NR, 128)
+    states128 = states128.reshape(B * NR, 128)
+    # per-row tables: each member's tables broadcast over its NR rows
+    symtab_rows = jnp.broadcast_to(
+        symtab[:, None], (B, NR, SR, 128)
+    ).reshape(B * NR, SR, 128)
+    pdfcdf_rows = jnp.broadcast_to(
+        pdfcdf[:, None], (B, NR, 2, 128)
+    ).reshape(B * NR, 2, 128)
+
+    arc_rows = archives.astype(_I32).reshape(need_rows, 128)
+    plo_np, phi_np = _pack_matrices()
+    plo = jnp.asarray(plo_np, jnp.bfloat16)
+    phi = jnp.asarray(phi_np, jnp.bfloat16)
+    suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
+    call = _build_decode_call(
+        B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True
+    )
+    result = {"size": n.astype(_U32), "success": success}
+    if fuse_float is not None:
+        nc3 = jax.vmap(
+            lambda a: jax.lax.dynamic_slice(
+                a, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
+            )
+        )(archives.astype(_I32)).reshape(B * NR, 32, 128)
+        out = call(
+            tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
+            plo, phi, suf, nc3, arc_rows,
+        )
+        result["out"] = (
+            out.reshape(B, NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
+                :, : out_max // 2
+            ].astype(_U32)
+        )
+        return result
+
+    out32 = call(
+        tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows, plo, phi,
+        suf, arc_rows,
+    )
+    result["out"] = (
+        out32.reshape(B, NBp * S * W // 4)[:, : out_max // 4].astype(_U32)
+    )
     return result

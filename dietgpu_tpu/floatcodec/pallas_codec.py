@@ -163,9 +163,9 @@ def float_decompress_padded_pallas(
         res = pdec.ans_decode_padded_pallas(
             arc, prob_bits, Lw, verify_checksum=False,
             arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
-            # T=80 rows: the largest fused-join tile under the 16 MB scoped
-            # VMEM limit (T=96 overflows by ~0.5 MB on some shapes)
-            fuse_float=float_type, block_tile=320,
+            # T=128 rows: best measured tile under the raised VMEM budget
+            # (v5e sweep: T=80 15.4, T=128 18.1, T=192 17.1 GB/s at 64Mi)
+            fuse_float=float_type, block_tile=512,
         )
     pairs = res["out"]
     ans_n = res["size"].astype(_I32)
@@ -184,6 +184,60 @@ def float_decompress_padded_pallas(
         actual = checksum_u32(pairs, n_eff * 2)
         result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result
+
+
+def float_decompress_batched_pallas(
+    archives: jnp.ndarray,
+    float_type: int,
+    out_max_words: int,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    static_length: int | None = None,
+):
+    """Decompress B float archives (equal capacity, ragged actual sizes)
+    with ONE fused decode+join grid — the batched analogue of the
+    reference's 128-way benchmark scenario (benchmark.py:149-221). vmap of
+    the single-archive pipeline serializes the B small grids; this path
+    keeps all 128 lanes of every sublane row busy across the whole batch
+    via per-row probability tables.
+
+    archives: (B, F4) u32 with F4 = float_archive_u32_bytes(ft, Lw) // 4.
+    With `static_length` (every member holds the same, known word count —
+    the reference benchmark's shape), all member section offsets become
+    static and the prologue lowers to strided slices instead of gathers.
+    Returns dict: out32 (B, Lw//2) u16 word-pairs, size (B,), success (B,).
+    """
+    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    B, F4 = archives.shape
+    Lw = out_max_words
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    arc = archives.astype(_U32)
+
+    h = arc[:, :4]
+    magic_ok = h[:, 0] == _U32((C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION)
+    n = h[:, 1].astype(_I32)
+    ft_ok = (h[:, 2] & _U32(0xF)) == _U32(float_type)
+    capacity_ok = n <= Lw
+    n_eff = jnp.clip(n, 0, Lw)
+    if static_length is not None:
+        ns = min(static_length, Lw)
+        ans_off = 4 + (C.round_up(ns, 16) >> 2)  # python int
+        static_nb = C.div_up(ns, C.DEFAULT_BLOCK_SIZE)
+        capacity_ok = capacity_ok & (n == ns)
+    else:
+        ans_off = 4 + (C.round_up(n_eff, 16) >> 2)
+        static_nb = None
+
+    res = pdec.ans_decode_batched_pallas(
+        arc, prob_bits, Lw, arc_base=ans_off,
+        arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
+        fuse_float=float_type, block_tile=512, static_nb=static_nb,
+    )
+    size_ok = res["size"].astype(_I32) == n_eff
+    return {
+        "out32": res["out"],
+        "size": n.astype(_U32),
+        "success": magic_ok & ft_ok & capacity_ok & res["success"] & size_ok,
+    }
 
 
 def _f32_compress(words, length, static_n, prob_bits, use_checksum):

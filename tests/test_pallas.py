@@ -244,6 +244,103 @@ def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
     assert not got[n:].any()
 
 
+def test_pallas_batched_ans_decode_interpret(interpret_pallas, rng):
+    """One-grid multi-archive decode (per-row tables) matches per-member
+    decode, with ragged member sizes and per-member probability tables."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    B = 3
+    out_max = 3 * C.DEFAULT_BLOCK_SIZE
+    lens = [out_max, 5000, 1]  # full, ragged, tiny
+    F4 = penc.archive_buffer_bytes_pallas(out_max) // 4
+    arcs = []
+    datas = []
+    for m, ln in enumerate(lens):
+        # different distributions => genuinely different tables per member
+        data = _expo_bytes(rng, ln, lam=5 * (m + 1))
+        datas.append(data)
+        d = np.zeros(C.round_up(ln, C.DEFAULT_BLOCK_SIZE), np.uint8)
+        d[:ln] = data
+        arc32, _ = penc.ans_encode_padded_pallas(
+            jnp.asarray(d.view(np.uint32)), ln, 10, return_u32=True
+        )
+        buf = np.zeros(F4, np.uint32)
+        a = np.asarray(arc32)
+        buf[: a.shape[0]] = a
+        arcs.append(buf)
+    batch = jnp.asarray(np.stack(arcs))
+
+    res = pdec.ans_decode_batched_pallas(batch, 10, out_max)
+    assert np.asarray(res["success"]).all()
+    sizes = np.asarray(res["size"])
+    out = np.asarray(res["out"]).view(np.uint8).reshape(B, out_max)
+    for m, ln in enumerate(lens):
+        assert sizes[m] == ln
+        assert np.array_equal(out[m, :ln], datas[m])
+        # single-archive path agrees bit-for-bit
+        single = pdec.ans_decode_padded_pallas(
+            jnp.asarray(arcs[m]), 10, out_max, return_u32=True
+        )
+        assert np.array_equal(
+            np.asarray(single["out"]).view(np.uint8)[:ln], datas[m]
+        )
+
+
+@pytest.mark.parametrize("ft", [1, 2])
+def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
+    """Batched fused decode+join equals the single-archive fused path."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    B = 3
+    Lw = 2 * C.DEFAULT_BLOCK_SIZE
+    lens = [Lw, Lw - 1237, 17]
+    F4 = pfc.float_archive_u32_bytes(ft, Lw) // 4
+    arcs = []
+    raws = []
+    for ln in lens:
+        x = rng.standard_normal(Lw).astype(np.float32)
+        if ft == C.FLOAT_TYPE_BFLOAT16:
+            w = (x.view(np.uint32) >> 16).astype(np.uint16)
+        else:
+            w = x.astype(np.float16).view(np.uint16)
+        w[ln:] = 0
+        raws.append(w)
+        arc, _ = pfc.float_compress_padded_pallas(jnp.asarray(w), ln, ft, 10, False)
+        arcs.append(np.asarray(arc)[:F4])
+    batch = jnp.asarray(np.stack(arcs))
+
+    res = pfc.float_decompress_batched_pallas(batch, ft, Lw)
+    assert np.asarray(res["success"]).all()
+    pairs = np.asarray(res["out32"])
+    for m, ln in enumerate(lens):
+        got = np.zeros(Lw, np.uint16)
+        got[0::2] = pairs[m] & 0xFFFF
+        got[1::2] = pairs[m] >> 16
+        assert np.array_equal(got[:ln], raws[m][:ln]), f"member {m}"
+        assert not got[ln:].any()
+
+    # static-geometry fast path (equal known lengths): decode members 0..1
+    # re-encoded at one length; offsets all static => strided-slice prologue
+    ln = lens[1]
+    arcs2 = []
+    for m in range(2):
+        w = raws[m].copy()
+        w[ln:] = 0
+        a, _ = pfc.float_compress_padded_pallas(jnp.asarray(w), ln, ft, 10, False)
+        arcs2.append(np.asarray(a)[:F4])
+    res2 = pfc.float_decompress_batched_pallas(
+        jnp.asarray(np.stack(arcs2)), ft, Lw, static_length=ln
+    )
+    assert np.asarray(res2["success"]).all()
+    pairs2 = np.asarray(res2["out32"])
+    for m in range(2):
+        got = np.zeros(Lw, np.uint16)
+        got[0::2] = pairs2[m] & 0xFFFF
+        got[1::2] = pairs2[m] >> 16
+        assert np.array_equal(got[:ln], np.where(np.arange(Lw) < ln, raws[m], 0)[:ln])
+
+
 @pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
 @pytest.mark.parametrize("ft", [1, 2, 3])
 def test_pallas_float_tpu_bitexact(rng, ft):
