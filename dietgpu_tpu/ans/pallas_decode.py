@@ -115,6 +115,7 @@ def _decode_kernel(
     T: int,
     fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
     per_row_tables: bool,
+    rt_rows: int,  # tile DMA window rows (>= contiguous payload span)
     *refs,
 ):
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
@@ -152,6 +153,29 @@ def _decode_kernel(
             st3,
             dma_sem,
         ) = refs
+        nc_ref = nc_lo_ref = nc_hi_ref = None
+    elif fuse_ft == C.FLOAT_TYPE_FLOAT32:
+        (
+            tile_row0_ref,
+            lrow_ref,
+            meta_ref,
+            states_ref,
+            symtab_ref,
+            pdfcdf_ref,
+            plo_ref,
+            phi_ref,
+            suf_ref,
+            nc_lo_ref,  # VMEM (T, 64, 128): low-u16 plane rows of blocks 4r..
+            nc_hi_ref,  # VMEM (T, 32, 128): high-u8 plane rows of blocks 4r..
+            arc_ref,
+            out_ref,  # VMEM (T, 128, 128): f32 word rows
+            tilebuf,
+            st0,
+            st1,
+            st2,
+            st3,
+            dma_sem,
+        ) = refs
         nc_ref = None
     else:
         (
@@ -174,9 +198,10 @@ def _decode_kernel(
             st3,
             dma_sem,
         ) = refs
+        nc_lo_ref = nc_hi_ref = None
     K = 1 << prob_bits
     SR = max(K // 512, 1)
-    RT = BPR * T * (MW // 256) + 48  # DMA row counts must be 8-aligned
+    RT = rt_rows  # DMA row counts must be 8-aligned
 
     i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(_I32, (T, 128), 1)
@@ -351,6 +376,32 @@ def _decode_kernel(
             if fuse_ft is None:
                 out_ref[:, 8 * g + cc, :] = row
                 continue
+            if fuse_ft == C.FLOAT_TYPE_FLOAT32:
+                # fused 3-plane join: row = 512 decoded exponent bytes of
+                # block (r,g) chunk cc; meet the low-u16 and high-u8 raw
+                # planes and emit finished f32 words (rotr1(exp<<24 |
+                # hi<<16 | lo), GpuFloatUtils.cuh:181-203), tail-masked
+                lo_rows = (
+                    nc_lo_ref[:, 16 * g + 2 * cc, :],
+                    nc_lo_ref[:, 16 * g + 2 * cc + 1, :],
+                )
+                hi_row = nc_hi_ref[:, 8 * g + cc, :]
+                wbase = wb_g[g] + cc * 512
+                shb = (lane & 3) << 3
+                shh = (lane & 1) << 4
+                nn = nn_g[g]
+                for p in range(4):
+                    qidx = 32 * p + _srl(lane, 2)
+                    eb = _srl(_taa(row, qidx), shb) & 0xFF
+                    hb = _srl(_taa(hi_row, qidx), shb) & 0xFF
+                    lidx = 64 * (p & 1) + _srl(lane, 1)
+                    lo16 = _srl(_taa(lo_rows[p >> 1], lidx), shh) & 0xFFFF
+                    v = (eb << 24) | (hb << 16) | lo16
+                    word = _srl(v, 1) | (v << 31)
+                    widx = wbase + 128 * p + lane
+                    word = jnp.where(widx < nn, word, 0)
+                    out_ref[:, 32 * g + 4 * cc + p, :] = word
+                continue
             # fused join: row = 512 decoded exponent bytes of block (r,g)
             # chunk cc; combine with the chunk's nonComp row and emit the
             # finished float word-pairs (JoinFloatWriter analogue,
@@ -403,14 +454,15 @@ def _build_decode_call(
     XR: int,
     fuse_ft=None,
     per_row_tables: bool = False,
+    rt_rows: int | None = None,
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     grid = NBp // (BPR * T)
-    RT = BPR * T * (MW // 256) + 48
+    RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
 
     kernel = functools.partial(
-        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT
     )
     if per_row_tables:
         table_specs = [
@@ -452,6 +504,20 @@ def _build_decode_call(
         out_shape = jax.ShapeDtypeStruct(
             (NBp // BPR, S // CHUNK * BPR, 128), _I32
         )
+    elif fuse_ft == C.FLOAT_TYPE_FLOAT32:
+        in_specs = small + [
+            pl.BlockSpec(
+                (T, 64, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (T, 32, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_spec = pl.BlockSpec(
+            (T, 128, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((NBp // BPR, 128, 128), _I32)
     else:
         in_specs = small + [
             pl.BlockSpec(
@@ -491,6 +557,25 @@ def _build_decode_call(
     )
 
 
+def _pick_tile(NB: int, block_tile: int) -> int:
+    """Largest tile (sublane rows, multiple of 8) up to block_tile//BPR
+    whose grid padding wastes <= ~6% of NB. Bigger tiles amortize the
+    per-vector-op fixed overhead (v5e: T=128 +18% over T=80 fused;
+    T=512 +13% over T=128 raw), but NBp rounds up to a tile multiple, so
+    small/odd sizes need smaller tiles."""
+    cap = max(8, min(block_tile, C.round_up(NB, BPR)) // BPR)
+    cap = C.round_up(cap, 8)
+    best = 8
+    t = 8
+    while t <= cap:
+        if C.round_up(NB, BPR * t) - NB <= max(NB // 16, 4 * 8):
+            best = t
+        t *= 2
+    if cap != best and C.round_up(NB, BPR * cap) - NB <= max(NB // 16, 32):
+        best = cap
+    return best
+
+
 def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
     """XLA prologue: packed symbol LUT + (pdf | cdf<<12) table."""
     K = 1 << prob_bits
@@ -525,7 +610,7 @@ def ans_decode_padded_pallas(
     prob_bits: int,
     out_max: int,
     verify_checksum: bool = False,
-    block_tile: int = 512,
+    block_tile: int = 2048,
     return_u32: bool = False,
     arc_base=None,
     arc_base_bound: int = 0,
@@ -550,8 +635,7 @@ def ans_decode_padded_pallas(
     """
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     NB = out_max // C.DEFAULT_BLOCK_SIZE
-    T = max(8, min(block_tile, C.round_up(NB, BPR)) // BPR)  # sublane rows
-    T = C.round_up(T, 8)
+    T = _pick_tile(NB, block_tile)  # sublane rows
     NBp = C.round_up(NB, BPR * T)
     NR = NBp // BPR
     RT = BPR * T * (MW // 256) + 48
@@ -584,7 +668,11 @@ def ans_decode_padded_pallas(
     )
     if fuse_float is not None:
         assert arc_base is not None, "fused join needs a float-archive base"
-        fast = fast and A32 >= 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
+        nc_need = NBp * (
+            3072 if fuse_float == C.FLOAT_TYPE_FLOAT32
+            else C.DEFAULT_BLOCK_SIZE // 4
+        )
+        fast = fast and A32 >= 4 + nc_need
 
     h = jax.lax.dynamic_slice(arc32, (base,), (8,))
     magic_ok = h[0] == _U32((C.ANS_MAGIC << 16) | C.ANS_VERSION)
@@ -612,7 +700,7 @@ def ans_decode_padded_pallas(
     else:
         pad = arc_base_bound + NBp * 34 + 140
         if fuse_float is not None:
-            pad += 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
+            pad += 4 + nc_need
         arc_ext = jnp.concatenate([arc32, jnp.zeros(pad, _U32)])
     bw_flat = jax.lax.dynamic_slice(
         arc_ext, (bw_start,), (2 * NBp + 2,)
@@ -687,6 +775,29 @@ def ans_decode_padded_pallas(
         "success": success,
         "checksum_ok": jnp.bool_(True),
     }
+    if fuse_float == C.FLOAT_TYPE_FLOAT32:
+        # f32 fused 3-plane join: low-u16 and high-u8 raw planes ride as
+        # pipelined inputs. Block b's plane data sits at static offsets
+        # WITHIN each plane (b*8192 / b*4096 bytes); only the hi plane's
+        # base depends on the dynamic length (lo plane is
+        # 2*roundUp(n,8) bytes, GpuFloatUtils.cuh:181-203). Reads past a
+        # partial tail block's plane data are masked by the word count.
+        n_eff = jnp.clip(n, 0, out_max)
+        lo_len32 = C.round_up(n_eff, 8) >> 1
+        lo_flat = jax.lax.dynamic_slice(arc_ext, (4,), (NBp * 2048,))
+        lo3 = lo_flat.astype(_I32).reshape(NBp // BPR, 64, 128)
+        hi_flat = jax.lax.dynamic_slice(
+            arc_ext, (4 + lo_len32,), (NBp * 1024,)
+        )
+        hi3 = hi_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
+        out = call(
+            tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
+            suf, lo3, hi3, arc_rows,
+        )
+        result["out"] = out.reshape(NBp * C.DEFAULT_BLOCK_SIZE)[
+            :out_max
+        ].astype(_U32)
+        return result
     if fuse_float is not None:
         # nonComp plane rows for the fused join: a regular pipelined input
         nc_flat = jax.lax.dynamic_slice(
@@ -764,29 +875,59 @@ def ans_decode_batched_pallas(
     assert out_max % C.DEFAULT_BLOCK_SIZE == 0 and out_max > 0
     B, F4 = archives.shape
     assert archives.dtype in (_U32, jnp.int32)
+    assert F4 % 128 == 0, "member stride must be 512-byte aligned"
+    F4r = F4 // 128
     NB = out_max // C.DEFAULT_BLOCK_SIZE
-    T = max(8, min(block_tile, C.round_up(NB, BPR)) // BPR)
-    T = C.round_up(T, 8)
-    NBp = C.round_up(NB, BPR * T)  # per member; tiles never span members
-    NR = NBp // BPR
-    RT = BPR * T * (MW // 256) + 48
     K = 1 << prob_bits
     SR = max(K // 512, 1)
 
+    # Tile choice. Small members would force member-sized (slow) tiles if
+    # tiles could not cross member boundaries; instead let a tile span k
+    # members by widening its DMA window to cover k+1 member strides (the
+    # payload rows of spanned members are NOT contiguous — the window must
+    # bridge the per-member header/nonComp/slack gaps).
+    T_aligned = _pick_tile(NB, block_tile)
+    NBp_min = C.round_up(NB, BPR)
+    Tcap = C.round_up(max(8, min(block_tile, 2048) // BPR), 8)
+    spanning = None
+    if NBp_min < BPR * Tcap:
+        NRm = NBp_min // BPR
+        for Tc in range(Tcap, T_aligned, -8):
+            if (B * NRm) % Tc:
+                continue
+            k = C.div_up(BPR * Tc, NBp_min)
+            rt = C.round_up((k + 1) * F4r + 56, 8)
+            if rt * 512 > 12 * 1024 * 1024:  # tilebuf VMEM budget
+                continue
+            if rt + 8 > B * F4r:  # window must fit in the whole buffer
+                continue
+            spanning = (Tc, rt)
+            break
+    if spanning is not None:
+        T, RT = spanning
+        NBp = NBp_min
+    else:
+        T = T_aligned
+        NBp = C.round_up(NB, BPR * T)  # tiles never span members
+        RT = BPR * T * (MW // 256) + 48
+    NR = NBp // BPR
+
     # fast-path guarantees, per member (same bounds as the single driver)
-    assert F4 % 128 == 0, "member stride must be 512-byte aligned"
-    F4r = F4 // 128
     sect_end = arc_base_bound + 136 + NBp * W + 2 * NBp + 2
-    dma_end_rows = (
-        C.div_up(arc_base_bound + 138 + 34 * NBp, 128)
-        + NBp * (MW // 256)
-        + RT
-        + 2
+    payload_end_rows = (
+        C.div_up(arc_base_bound + 138 + 34 * NBp, 128) + NBp * (MW // 256)
     )
-    assert F4r >= dma_end_rows and F4 >= sect_end, (
-        "member stride lacks DMA slack: use archive_buffer_bytes_pallas/"
-        "float_archive_u32_bytes strides"
-    )
+    if spanning is None:
+        assert F4r >= payload_end_rows + RT + 2 and F4 >= sect_end, (
+            "member stride lacks DMA slack: use archive_buffer_bytes_pallas/"
+            "float_archive_u32_bytes strides"
+        )
+    else:
+        # spanning tiles clip against the buffer end; live payload only
+        # needs to end >= 16 rows before each member stride
+        assert F4r >= payload_end_rows + 16 and F4 >= sect_end, (
+            "member stride lacks payload slack"
+        )
     if fuse_float is not None:
         assert arc_base is not None
         assert F4 >= 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
@@ -886,7 +1027,9 @@ def ans_decode_batched_pallas(
         B * NBp
     )
     tile_row0 = glob_row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
-    tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
+    # the end-of-buffer clip (which spanning tiles hit by design) must also
+    # land on an 8-row boundary — unaligned DMA starts crash the TPU worker
+    tile_row0 = jnp.clip(tile_row0, 0, (need_rows - RT) & ~7)
     lrow = jnp.clip(
         glob_row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
     )
@@ -907,7 +1050,8 @@ def ans_decode_batched_pallas(
     phi = jnp.asarray(phi_np, jnp.bfloat16)
     suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
     call = _build_decode_call(
-        B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True
+        B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True,
+        rt_rows=RT,
     )
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float is not None:

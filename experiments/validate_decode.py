@@ -4,12 +4,13 @@ import numpy as np, jax, jax.numpy as jnp
 from dietgpu_tpu import constants as C
 from dietgpu_tpu.ans import encode as enc, pallas_decode as pdec
 
-def rt(data, pb=10, tile=256, tag=""):
+def rt(data, pb=10, tile=None, tag=""):
     n = data.size
     L = C.round_up(max(n,1), 4096)
     padded = np.zeros(L, np.uint8); padded[:n] = data
     arc, size = jax.jit(lambda d: enc.ans_encode_padded(d, n, pb, False))(jnp.asarray(padded))
-    r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, pb, L, False, tile))(arc)
+    kw = {} if tile is None else {"block_tile": tile}
+    r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, pb, L, False, **kw))(arc)
     out = np.asarray(r["out"])
     ok = bool(r["success"]) and int(r["size"]) == n and np.array_equal(out[:n], data) and not out[n:].any()
     print(("OK " if ok else "FAIL"), f"n={n:>9} pb={pb} {tag}", flush=True)
