@@ -7,9 +7,10 @@ rANS kernels consume and produce packed words, and archives are u32 row
 buffers; no strided byte interleaves ever run in XLA.
 
 Archive layout is the reference's (GpuFloatCompress.cuh:420-427):
-[GpuFloatHeader 16B][nonComp plane, 16B-rounded][ANS archive of exponents].
-f32 (two raw planes, GpuFloatUtils.cuh:181-203) currently routes to the XLA
-path; bf16/f16 are the flagship formats here.
+[GpuFloatHeader 16B][nonComp plane(s), 16B-rounded][ANS archive of
+exponents]. All three float types run fused decode+join Pallas kernels;
+f32 uses the two-raw-plane layout (GpuFloatUtils.cuh:181-203) with a
+3-plane fused join.
 """
 
 import jax
@@ -312,20 +313,20 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
     hi_len32 = C.round_up(n_eff, 16) >> 2
     base_bound = 4 + (C.round_up(Lw, 8) >> 1) + (C.round_up(Lw, 16) >> 2)
 
-    res = pdec.ans_decode_padded_pallas(
-        arc, prob_bits, Lw, verify_checksum=False, return_u32=True,
-        arc_base=4 + lo_len32 + hi_len32, arc_base_bound=base_bound,
-    )
-    exp32 = res["out"]
+    # fused 3-plane decode+join IN PLACE on the container: the kernel
+    # consumes the low-u16/high-u8 raw planes as pipelined inputs and
+    # emits finished, tail-masked f32 words — no exponent-plane HBM round
+    # trip, no separate join kernel (JoinFloatWriter analogue for the
+    # two-plane f32 layout, GpuFloatDecompress.cuh:391-521 +
+    # GpuFloatUtils.cuh:181-203)
+    with annotate("float.fused_decode_join_f32"):
+        res = pdec.ans_decode_padded_pallas(
+            arc, prob_bits, Lw, verify_checksum=False,
+            arc_base=4 + lo_len32 + hi_len32, arc_base_bound=base_bound,
+            fuse_float=C.FLOAT_TYPE_FLOAT32,
+        )
+    words = res["out"]
     size_ok = res["size"].astype(_I32) == n_eff
-
-    lo32 = jax.lax.dynamic_slice(arc, (4,), (Lw // 2,))
-    hi32 = jax.lax.dynamic_slice(
-        arc, (4 + lo_len32,), (Lw // 4,)
-    )
-    words = pf.join_words_pallas_f32(exp32, lo32, hi32)
-    valid = jnp.arange(Lw, dtype=_I32) < n_eff
-    words = jnp.where(valid, words, _U32(0))
 
     success = magic_ok & ft_ok & capacity_ok & res["success"] & size_ok
     result = {

@@ -220,26 +220,33 @@ def test_pallas_encode_overflow_interpret(interpret_pallas):
     assert int(size) & C.SIZE_OVERFLOW_BIT
 
 
-@pytest.mark.parametrize("ft,n", [(2, 4095), (1, 6001)])  # bf16, f16; odd tails
+@pytest.mark.parametrize(
+    "ft,n", [(2, 4095), (1, 6001), (3, 4097), (3, 8192)]
+)  # bf16, f16, f32 (3-plane); odd tails
 def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
     """Fused decode+join tail masking across float types (JoinFloatWriter
-    analogue)."""
+    analogue; f32 runs the 3-plane fused join)."""
     from dietgpu_tpu.floatcodec import pallas_codec as pfc
 
     Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
     x = rng.standard_normal(Lw).astype(np.float32)
     if ft == C.FLOAT_TYPE_BFLOAT16:
         w = (x.view(np.uint32) >> 16).astype(np.uint16)
-    else:
+    elif ft == C.FLOAT_TYPE_FLOAT16:
         w = x.astype(np.float16).view(np.uint16)
+    else:
+        w = x.view(np.uint32).copy()
     w[n:] = 0
     arc, size = pfc.float_compress_padded_pallas(jnp.asarray(w), n, ft, 10, False)
     r = pfc.float_decompress_padded_pallas(arc, ft, Lw, 10, False)
     assert bool(r["success"])
-    pairs = np.asarray(r["out32"])
-    got = np.zeros(Lw, np.uint16)
-    got[0::2] = pairs & 0xFFFF
-    got[1::2] = pairs >> 16
+    if ft == C.FLOAT_TYPE_FLOAT32:
+        got = np.asarray(r["out32"])
+    else:
+        pairs = np.asarray(r["out32"])
+        got = np.zeros(Lw, np.uint16)
+        got[0::2] = pairs & 0xFFFF
+        got[1::2] = pairs >> 16
     assert np.array_equal(got[:n], w[:n])
     assert not got[n:].any()
 
@@ -285,6 +292,39 @@ def test_pallas_batched_ans_decode_interpret(interpret_pallas, rng):
         assert np.array_equal(
             np.asarray(single["out"]).view(np.uint8)[:ln], datas[m]
         )
+
+
+def test_pallas_batched_spanning_tiles_interpret(interpret_pallas, rng):
+    """Small members force tiles to SPAN members (enlarged DMA window):
+    8 members x 2 blocks, ragged, distinct tables — one tile covers all."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+
+    B = 16
+    out_max = 8 * C.DEFAULT_BLOCK_SIZE  # NBp_min=8 < BPR*Tcap => spanning
+    lens = [out_max, 8000, 4096, 4097, 1, 100, out_max, 5000] * 2
+    F4 = penc.archive_buffer_bytes_pallas(out_max) // 4
+    arcs, datas = [], []
+    for m, ln in enumerate(lens):
+        data = _expo_bytes(rng, ln, lam=3 * (m + 1))
+        datas.append(data)
+        d = np.zeros(C.round_up(ln, C.DEFAULT_BLOCK_SIZE), np.uint8)
+        d[:ln] = data
+        arc32, _ = penc.ans_encode_padded_pallas(
+            jnp.asarray(d.view(np.uint32)), ln, 10, return_u32=True
+        )
+        buf = np.zeros(F4, np.uint32)
+        a = np.asarray(arc32)
+        buf[: a.shape[0]] = a
+        arcs.append(buf)
+    batch = jnp.asarray(np.stack(arcs))
+
+    res = pdec.ans_decode_batched_pallas(batch, 10, out_max)
+    assert np.asarray(res["success"]).all()
+    out = np.asarray(res["out"]).view(np.uint8).reshape(B, out_max)
+    for m, ln in enumerate(lens):
+        assert np.asarray(res["size"])[m] == ln
+        assert np.array_equal(out[m, :ln], datas[m]), f"member {m}"
 
 
 @pytest.mark.parametrize("ft", [1, 2])
