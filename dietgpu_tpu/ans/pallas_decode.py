@@ -101,12 +101,16 @@ def _pack_matrices():
 
 @functools.lru_cache(maxsize=None)
 def _suffix_matrix():
-    """(128,128) block-diag: rank[32g+l] = sum_{w >= l} read[32g+w] via MXU."""
-    m = np.zeros((128, 128), np.float32)
+    """(2,128,128) block-diag constants, both applied to the read mask on
+    the MXU: [0] rank[32g+l] = sum_{w >= l} read[32g+w]; [1] group
+    all-ones so cnt[32g+l] = total readers of group g (replaces a VPU
+    broadcast-gather of rank's lane 0 with an overlapped matmul)."""
+    m = np.zeros((2, 128, 128), np.float32)
     for g in range(BPR):
         for j in range(32):
             for l in range(j + 1):
-                m[32 * g + j, 32 * g + l] = 1.0
+                m[0, 32 * g + j, 32 * g + l] = 1.0
+        m[1, 32 * g : 32 * g + 32, 32 * g : 32 * g + 32] = 1.0
     return m
 
 
@@ -136,14 +140,14 @@ def _decode_kernel(
             tile_row0_ref,  # SMEM (ntiles,) payload row of each tile's DMA
             lrow_ref,  # SMEM (NBp,) block's row offset inside its tile buffer
             meta_ref,  # VMEM (T,128): per group g lanes 32g+0..5 =
-            #            (steps, rem, cwords, off32, wordbase, nwords)
+            #            (uncomp, -, cwords, off32, wordbase, nwords)
             #            of block 4*row + g
             states_ref,  # VMEM (T,128): lanes 32g.. = states of block 4r+g
             symtab_ref,
             pdfcdf_ref,
             plo_ref,  # VMEM (4,128,128) bf16
             phi_ref,  # VMEM (4,128,128) bf16
-            suf_ref,  # VMEM (128,128) bf16 block-diagonal suffix matrix
+            suf_ref,  # VMEM (2,128,128) bf16 suffix/group-ones matrices
             arc_ref,  # ANY (XR,128) u32 archive rows
             out_ref,  # VMEM (T, 32, 128): rows 8g+c = chunks of block 4r+g
             tilebuf,  # scratch (RT,128) i32
@@ -234,8 +238,7 @@ def _decode_kernel(
             streams[g][0] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
 
     meta = meta_ref[:]
-    steps = _taa(meta, gbase)
-    rem = _taa(meta, gbase | 1)
+    uncomp = _taa(meta, gbase)  # block symbol count (drives the act mask)
     cwords = _taa(meta, gbase | 2)
     off32 = _taa(meta, gbase | 3)
     if fuse_ft is not None:
@@ -258,12 +261,14 @@ def _decode_kernel(
         ]
     plo = [plo_ref[d] for d in range(4)]
     phi = [phi_ref[d] for d in range(4)]
-    suf = suf_ref[:]
+    suf = suf_ref[0]
+    gones = suf_ref[1]
 
-    def one_step(kk, state, pos, wins, base):
-        is_tail = kk == steps - 1
-        limit = jnp.where(is_tail & (rem > 0), rem, 32)
-        act = (kk < steps) & (lane31 < limit)
+    def one_step(kk, state, pos, wins, baseq):
+        # lanes past the block's symbol count go inactive; the single
+        # subtract+compare covers full steps, the partial tail step, and
+        # dead blocks at once (kk is the step index, 32 symbols/step)
+        act = lane31 < (uncomp - (kk << 5))
 
         s_bar = state & (K - 1)
         q = _srl(s_bar, 2)
@@ -286,19 +291,24 @@ def _decode_kernel(
 
         read = act & (state1 < C.ANS_MIN_STATE)
         if "rank" not in _ABLATE:
-            rank = (
-                jax.lax.dot_general(
-                    read.astype(jnp.bfloat16), suf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            rb = read.astype(jnp.bfloat16)
+            rank = jax.lax.dot_general(
+                rb, suf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(_I32)
+            # group totals via a second (overlapped) matmul — cheaper than
+            # a VPU broadcast-gather of rank's group-base lane
+            cnt = jax.lax.dot_general(
+                rb, gones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             ).astype(_I32)
         else:
             rank = read.astype(_I32)
-        cnt = _taa(rank, gbase)  # group base lane = total readers in group
+            cnt = _taa(rank, gbase)
 
         rj = pos - rank  # u16-word index of each reader (backwards stream)
         if "read" not in _ABLATE:
-            widx = (off32 + _srl(rj, 1) - base) & 127
+            widx = (_srl(rj, 1) - baseq) & 127
             v32 = _taa(wins[0], widx)
             for gg in range(1, BPR):
                 v32 = jnp.where(gid == gg, _taa(wins[gg], widx), v32)
@@ -311,11 +321,14 @@ def _decode_kernel(
         return jnp.where(act, sym, 0), state2, pos
 
     def refill(pos):
-        """Per-group 256-u16-word windows covering the next 8 steps' reads."""
+        """Per-group 256-u16-word windows covering the next 8 steps' reads.
+
+        Returns baseq = window base minus the block's off32, so the hot
+        read path computes widx with one subtract instead of two."""
         hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
-            return (zeros, zeros, zeros, zeros), base
+            return (zeros, zeros, zeros, zeros), base - off32
         wins = []
         for gg in range(BPR):
             bg = _taa(base, zeros + 32 * gg)
@@ -331,21 +344,21 @@ def _decode_kernel(
                 return jnp.where(pg == p, _taa(sref[:, p, :], li), acc)
 
             wins.append(jax.lax.fori_loop(lop, hip + 1, page_body, zeros))
-        return tuple(wins), base
+        return tuple(wins), base - off32
 
     def chunk_body(c, carry):
-        state, pos, w0, w1, w2, w3, base = carry
+        state, pos, w0, w1, w2, w3, baseq = carry
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         packs = [None] * (CHUNK // GROUP)
         for m in range(CHUNK // GROUP - 1, -1, -1):
             # each per-group window covers two 4-step groups; refill on odd m
             if m % 2 == 1:
-                (w0, w1, w2, w3), base = refill(pos)
+                (w0, w1, w2, w3), baseq = refill(pos)
             wins = (w0, w1, w2, w3)
             syms = [None] * GROUP
             for d in range(GROUP - 1, -1, -1):
                 kk = cc * CHUNK + GROUP * m + d
-                syms[d], state, pos = one_step(kk, state, pos, wins, base)
+                syms[d], state, pos = one_step(kk, state, pos, wins, baseq)
             if "pack" in _ABLATE:
                 packs[m] = syms[0]
                 continue
@@ -432,7 +445,7 @@ def _decode_kernel(
                     jnp.where(widx0 < nn, pair & 0xFFFF, 0),
                 )
                 out_ref[:, 16 * g + 2 * cc + p, :] = pair
-        return state, pos, w0, w1, w2, w3, base
+        return state, pos, w0, w1, w2, w3, baseq
 
     init = (
         states_ref[:],
@@ -492,7 +505,9 @@ def _build_decode_call(
         pl.BlockSpec(
             (4, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (2, 128, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
     ]
     n_prefetch = 2
     if fuse_ft is None:
@@ -713,8 +728,6 @@ def ans_decode_padded_pallas(
     rnb2 = nb_eff + (nb_eff & 1)
     ds32 = bw_start + rnb2 * 2  # u32 offset of the payload
 
-    steps = (uncomp + W - 1) // W
-    remainder = uncomp % W
 
     # per-block payload geometry (u32 rows of 128)
     s32 = ds32 + (starts >> 1)  # first u32 of the block's stream
@@ -727,9 +740,7 @@ def ans_decode_padded_pallas(
     meta3 = jnp.zeros((NR, BPR, W), _I32)
     meta3 = (
         meta3.at[:, :, 0]
-        .set(steps.reshape(NR, BPR))
-        .at[:, :, 1]
-        .set(remainder.reshape(NR, BPR))
+        .set(uncomp.reshape(NR, BPR))
         .at[:, :, 2]
         .set(cwords.reshape(NR, BPR))
         .at[:, :, 3]
@@ -843,6 +854,7 @@ def ans_decode_batched_pallas(
     arc_base_bound: int = 0,
     fuse_float=None,
     static_nb: int | None = None,
+    f32_hi_off: int | None = None,
 ):
     """Decode B independent archives with ONE kernel grid.
 
@@ -868,6 +880,9 @@ def ans_decode_batched_pallas(
         it, member-dependent `dynamic_slice` starts become XLA gathers,
         which run ~1000x slower than copies on this TPU and dominate the
         whole decode.
+      f32_hi_off: (fuse_float=f32 only) static member-local u32 offset of
+        the high-u8 raw plane (4 + roundUp(n,8)/2); None derives it per
+        member from the headers (slow ragged path).
 
     Returns dict: out (B, out_max//4) u32 raw bytes (or (B, out_max//2)
     float word-pairs when fused), size (B,) u32, success (B,) bool.
@@ -930,7 +945,10 @@ def ans_decode_batched_pallas(
         )
     if fuse_float is not None:
         assert arc_base is not None
-        assert F4 >= 4 + NBp * (C.DEFAULT_BLOCK_SIZE // 4)
+        assert F4 >= 4 + NBp * (
+            3072 if fuse_float == C.FLOAT_TYPE_FLOAT32
+            else C.DEFAULT_BLOCK_SIZE // 4
+        )
     static_base = (
         arc_base if isinstance(arc_base, int)
         else (0 if arc_base is None else None)
@@ -989,8 +1007,6 @@ def ans_decode_batched_pallas(
         starts = bw_y.astype(_I32)
         ds32 = bw_start + rnb2 * 2
 
-        steps = (uncomp + W - 1) // W
-        remainder = uncomp % W
         s32 = ds32 + (starts >> 1)
         row0 = s32 >> 7
         off32 = s32 & 127
@@ -998,9 +1014,7 @@ def ans_decode_batched_pallas(
         meta3 = jnp.zeros((NR, BPR, W), _I32)
         meta3 = (
             meta3.at[:, :, 0]
-            .set(steps.reshape(NR, BPR))
-            .at[:, :, 1]
-            .set(remainder.reshape(NR, BPR))
+            .set(uncomp.reshape(NR, BPR))
             .at[:, :, 2]
             .set(cwords.reshape(NR, BPR))
             .at[:, :, 3]
@@ -1054,6 +1068,35 @@ def ans_decode_batched_pallas(
         rt_rows=RT,
     )
     result = {"size": n.astype(_U32), "success": success}
+    if fuse_float == C.FLOAT_TYPE_FLOAT32:
+        # 3-plane fused join: per-member lo/hi raw-plane slices. The hi
+        # plane's base depends on each member's length; with static
+        # geometry it is a python int and the vmapped slices stay strided
+        lo3 = jax.vmap(
+            lambda a: jax.lax.dynamic_slice(a, (4,), (NBp * 2048,))
+        )(archives.astype(_I32)).reshape(B * NR, 64, 128)
+        if f32_hi_off is not None:
+            hi3 = jax.vmap(
+                lambda a: jax.lax.dynamic_slice(
+                    a, (f32_hi_off,), (NBp * 1024,)
+                )
+            )(archives.astype(_I32)).reshape(B * NR, 32, 128)
+        else:
+            hi_offs = 4 + (
+                C.round_up(jnp.clip(n, 0, out_max), 8) >> 1
+            ).astype(_I32)
+            hi3 = jax.vmap(
+                lambda a, o: jax.lax.dynamic_slice(a, (o,), (NBp * 1024,))
+            )(archives.astype(_I32), hi_offs).reshape(B * NR, 32, 128)
+        out = call(
+            tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
+            plo, phi, suf, lo3, hi3, arc_rows,
+        )
+        result["out"] = (
+            out.reshape(B, NBp * C.DEFAULT_BLOCK_SIZE)[:, :out_max]
+            .astype(_U32)
+        )
+        return result
     if fuse_float is not None:
         nc3 = jax.vmap(
             lambda a: jax.lax.dynamic_slice(

@@ -74,19 +74,23 @@ def _umulhi_i32(a, b):
 
 @functools.lru_cache(maxsize=None)
 def _prefix_matrix():
-    """(128,128) bf16 block-diag: incl_prefix[32g+l] = sum_{j <= l} write[32g+j]."""
-    m = np.zeros((128, 128), np.float32)
+    """(2,128,128) bf16 block-diag constants applied to the write mask on
+    the MXU: [0] incl_prefix[32g+l] = sum_{j <= l} write[32g+j]; [1] group
+    all-ones so cnt = total writers (replaces a VPU broadcast-gather of
+    the prefix's lane 31 with an overlapped matmul)."""
+    m = np.zeros((2, 128, 128), np.float32)
     for g in range(4):
         for j in range(32):
             for l in range(j, 32):
-                m[32 * g + j, 32 * g + l] = 1.0
+                m[0, 32 * g + j, 32 * g + l] = 1.0
+        m[1, 32 * g : 32 * g + 32, 32 * g : 32 * g + 32] = 1.0
     return m
 
 
 def _encode_kernel(
     prob_bits: int,
     T: int,
-    meta_ref,  # VMEM (T,128): lanes 32g+0/1 = (steps, rem) of block 4*row+g
+    meta_ref,  # VMEM (T,128): lane 32g+0 = symbol count of block 4*row+g
     data_ref,  # VMEM (T,32,128): [r, 8g+c, :] = block 4r+g input chunk c
     pcs_ref,
     magic_ref,
@@ -110,14 +114,14 @@ def _encode_kernel(
     zeros = jnp.zeros((T, 128), _I32)
 
     meta = meta_ref[:]
-    steps = _taa(meta, gbase)
-    rem = _taa(meta, gbase | 1)
+    uncomp = _taa(meta, gbase)  # block symbol count (drives the act mask)
 
     pcs = [jnp.broadcast_to(pcs_ref[r : r + 1, :], (T, 128)) for r in range(2)]
     magic = [
         jnp.broadcast_to(magic_ref[r : r + 1, :], (T, 128)) for r in range(2)
     ]
-    pre = pre_ref[:]
+    pre = pre_ref[0]
+    gones = pre_ref[1]
 
     # zero-init the staging pages (flushes do read-modify-write ORs)
     for p in range(4 * PAGES):
@@ -167,9 +171,9 @@ def _encode_kernel(
 
     def one_step(kk, loads, l, carry):
         state, win_lo, win_hi, fill, base = carry
-        is_tail = kk == steps - 1
-        limit = jnp.where(is_tail & (rem > 0), rem, 32)
-        act = (kk < steps) & (lane31 < limit)
+        # single subtract+compare covers full steps, the partial tail
+        # step, and dead blocks at once (kk = step index, 32 symbols/step)
+        act = lane31 < (uncomp - (kk << 5))
 
         idx = lidx + 8 * l
         d = _taa(loads[0], idx)
@@ -196,11 +200,17 @@ def _encode_kernel(
         state2 = jnp.where(act, (div << prob_bits) + mod + cdf, state1)
 
         # per-group inclusive prefix (ballot/popc) via one block-diag matmul
+        wb = write.astype(jnp.bfloat16)
         r = jax.lax.dot_general(
-            write.astype(jnp.bfloat16), pre, (((1,), (0,)), ((), ())),
+            wb, pre, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(_I32)
-        cnt = _taa(r, gbase | 31)
+        # group totals via a second (overlapped) matmul instead of a VPU
+        # broadcast-gather of the prefix's last lane
+        cnt = jax.lax.dot_general(
+            wb, gones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_I32)
 
         # append into the group's 32-slot window; one binary search serves
         # all four groups (rank gathers are group-offset)
@@ -271,7 +281,9 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int):
             ),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -397,16 +409,9 @@ def _encode_stage1(
     tail = length - (nb - 1) * C.DEFAULT_BLOCK_SIZE
     uncomp = jnp.where(bidx < nb, C.DEFAULT_BLOCK_SIZE, 0)
     uncomp = jnp.where(bidx == nb - 1, tail, uncomp)
-    steps = (uncomp + W - 1) // W
-    remainder = uncomp % W
     NR = NBp // BPR
     meta3 = jnp.zeros((NR, BPR, W), _I32)
-    meta3 = (
-        meta3.at[:, :, 0]
-        .set(steps.reshape(NR, BPR))
-        .at[:, :, 1]
-        .set(remainder.reshape(NR, BPR))
-    )
+    meta3 = meta3.at[:, :, 0].set(uncomp.reshape(NR, BPR))
     meta = meta3.reshape(NR, 128)
 
     d32 = data32

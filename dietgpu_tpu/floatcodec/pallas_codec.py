@@ -205,13 +205,17 @@ def float_decompress_batched_pallas(
     With `static_length` (every member holds the same, known word count —
     the reference benchmark's shape), all member section offsets become
     static and the prologue lowers to strided slices instead of gathers.
-    Returns dict: out32 (B, Lw//2) u16 word-pairs, size (B,), success (B,).
+    Returns dict: out32 (B, Lw//2) u16 word-pairs (f16/bf16) or (B, Lw)
+    u32 words (f32), size (B,), success (B,).
     """
-    assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+    assert float_type in (
+        C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16, C.FLOAT_TYPE_FLOAT32
+    )
     B, F4 = archives.shape
     Lw = out_max_words
     assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
     arc = archives.astype(_U32)
+    is_f32 = float_type == C.FLOAT_TYPE_FLOAT32
 
     h = arc[:, :4]
     magic_ok = h[:, 0] == _U32((C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION)
@@ -219,19 +223,34 @@ def float_decompress_batched_pallas(
     ft_ok = (h[:, 2] & _U32(0xF)) == _U32(float_type)
     capacity_ok = n <= Lw
     n_eff = jnp.clip(n, 0, Lw)
+    f32_hi_off = None
     if static_length is not None:
         ns = min(static_length, Lw)
-        ans_off = 4 + (C.round_up(ns, 16) >> 2)  # python int
+        if is_f32:
+            f32_hi_off = 4 + (C.round_up(ns, 8) >> 1)  # python int
+            ans_off = f32_hi_off + (C.round_up(ns, 16) >> 2)
+        else:
+            ans_off = 4 + (C.round_up(ns, 16) >> 2)  # python int
         static_nb = C.div_up(ns, C.DEFAULT_BLOCK_SIZE)
         capacity_ok = capacity_ok & (n == ns)
     else:
-        ans_off = 4 + (C.round_up(n_eff, 16) >> 2)
+        if is_f32:
+            ans_off = (
+                4 + (C.round_up(n_eff, 8) >> 1) + (C.round_up(n_eff, 16) >> 2)
+            )
+        else:
+            ans_off = 4 + (C.round_up(n_eff, 16) >> 2)
         static_nb = None
 
+    base_bound = (
+        4 + (C.round_up(Lw, 8) >> 1) + (C.round_up(Lw, 16) >> 2)
+        if is_f32
+        else 4 + (C.round_up(Lw, 16) >> 2)
+    )
     res = pdec.ans_decode_batched_pallas(
-        arc, prob_bits, Lw, arc_base=ans_off,
-        arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
+        arc, prob_bits, Lw, arc_base=ans_off, arc_base_bound=base_bound,
         fuse_float=float_type, block_tile=512, static_nb=static_nb,
+        f32_hi_off=f32_hi_off,
     )
     size_ok = res["size"].astype(_I32) == n_eff
     return {

@@ -327,9 +327,27 @@ def test_pallas_batched_spanning_tiles_interpret(interpret_pallas, rng):
         assert np.array_equal(out[m, :ln], datas[m]), f"member {m}"
 
 
-@pytest.mark.parametrize("ft", [1, 2])
+def _words_of(x, ft):
+    if ft == C.FLOAT_TYPE_BFLOAT16:
+        return (x.view(np.uint32) >> 16).astype(np.uint16)
+    if ft == C.FLOAT_TYPE_FLOAT16:
+        return x.astype(np.float16).view(np.uint16)
+    return x.view(np.uint32).copy()
+
+
+def _unpack_out32(out32_row, ft, Lw):
+    if ft == C.FLOAT_TYPE_FLOAT32:
+        return out32_row
+    got = np.zeros(Lw, np.uint16)
+    got[0::2] = out32_row & 0xFFFF
+    got[1::2] = out32_row >> 16
+    return got
+
+
+@pytest.mark.parametrize("ft", [1, 2, 3])
 def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
-    """Batched fused decode+join equals the single-archive fused path."""
+    """Batched fused decode+join equals the single-archive fused path
+    (f32 runs the batched 3-plane join)."""
     from dietgpu_tpu.floatcodec import pallas_codec as pfc
 
     B = 3
@@ -340,10 +358,7 @@ def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
     raws = []
     for ln in lens:
         x = rng.standard_normal(Lw).astype(np.float32)
-        if ft == C.FLOAT_TYPE_BFLOAT16:
-            w = (x.view(np.uint32) >> 16).astype(np.uint16)
-        else:
-            w = x.astype(np.float16).view(np.uint16)
+        w = _words_of(x, ft)
         w[ln:] = 0
         raws.append(w)
         arc, _ = pfc.float_compress_padded_pallas(jnp.asarray(w), ln, ft, 10, False)
@@ -352,11 +367,9 @@ def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
 
     res = pfc.float_decompress_batched_pallas(batch, ft, Lw)
     assert np.asarray(res["success"]).all()
-    pairs = np.asarray(res["out32"])
+    out = np.asarray(res["out32"])
     for m, ln in enumerate(lens):
-        got = np.zeros(Lw, np.uint16)
-        got[0::2] = pairs[m] & 0xFFFF
-        got[1::2] = pairs[m] >> 16
+        got = _unpack_out32(out[m], ft, Lw)
         assert np.array_equal(got[:ln], raws[m][:ln]), f"member {m}"
         assert not got[ln:].any()
 
@@ -373,11 +386,9 @@ def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
         jnp.asarray(np.stack(arcs2)), ft, Lw, static_length=ln
     )
     assert np.asarray(res2["success"]).all()
-    pairs2 = np.asarray(res2["out32"])
+    out2 = np.asarray(res2["out32"])
     for m in range(2):
-        got = np.zeros(Lw, np.uint16)
-        got[0::2] = pairs2[m] & 0xFFFF
-        got[1::2] = pairs2[m] >> 16
+        got = _unpack_out32(out2[m], ft, Lw)
         assert np.array_equal(got[:ln], np.where(np.arange(Lw) < ln, raws[m], 0)[:ln])
 
 
