@@ -42,6 +42,14 @@ from ..profiling import annotate
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
+# perf-debug knob: skip kernel phases to attribute time (output garbage!).
+# comma-set of {flush,search,data,lut,div}; e.g. DIETGPU_ENCODE_ABLATE=flush
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("DIETGPU_ENCODE_ABLATE", "").split(","))
+)
+
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
@@ -132,6 +140,8 @@ def _encode_kernel(
         aligned quarter of its block's current page. One branchless union
         page loop serves all four groups (separate pl.when'd loops per group
         drown the scalar core in control overhead)."""
+        if "flush" in _ABLATE:
+            return
         pggs, qvs, flvs, placed = [], [], [], []
         for g in range(BPR):
             colg = zeros + 32 * g
@@ -175,28 +185,39 @@ def _encode_kernel(
         # step, and dead blocks at once (kk = step index, 32 symbols/step)
         act = lane31 < (uncomp - (kk << 5))
 
-        idx = lidx + 8 * l
-        d = _taa(loads[0], idx)
-        for g in range(1, BPR):
-            d = jnp.where(gid == g, _taa(loads[g], idx), d)
-        sym = _srl(d, qsh) & 0xFF
-        pv = jnp.where(
-            sym < 128, _taa(pcs[0], sym & 127), _taa(pcs[1], sym & 127)
-        )
+        if "data" not in _ABLATE:
+            idx = lidx + 8 * l
+            d = _taa(loads[0], idx)
+            for g in range(1, BPR):
+                d = jnp.where(gid == g, _taa(loads[g], idx), d)
+            sym = _srl(d, qsh) & 0xFF
+        else:
+            sym = lane31 + kk
+        if "lut" not in _ABLATE:
+            pv = jnp.where(
+                sym < 128, _taa(pcs[0], sym & 127), _taa(pcs[1], sym & 127)
+            )
+            mg = jnp.where(
+                sym < 128, _taa(magic[0], sym & 127), _taa(magic[1], sym & 127)
+            )
+        else:
+            pv = sym | (sym << 12)
+            mg = sym
         pdf = pv & 0xFFF
         cdf = _srl(pv, 12) & 0xFFF
         shift = _srl(pv, 24) & 0x1F
-        mg = jnp.where(
-            sym < 128, _taa(magic[0], sym & 127), _taa(magic[1], sym & 127)
-        )
 
         write = act & (_srl(state, 31 - prob_bits) >= pdf)
         outv = state & 0xFFFF
         state1 = jnp.where(write, _srl(state, 16), state)
 
-        t = _umulhi_i32(state1, mg)
-        div = _srl(t + state1, shift)
-        mod = state1 - div * pdf
+        if "div" not in _ABLATE:
+            t = _umulhi_i32(state1, mg)
+            div = _srl(t + state1, shift)
+            mod = state1 - div * pdf
+        else:
+            div = _srl(state1, prob_bits)
+            mod = state1 & ((1 << prob_bits) - 1)
         state2 = jnp.where(act, (div << prob_bits) + mod + cdf, state1)
 
         # per-group inclusive prefix (ballot/popc) via one block-diag matmul
@@ -215,12 +236,15 @@ def _encode_kernel(
         # append into the group's 32-slot window; one binary search serves
         # all four groups (rank gathers are group-offset)
         jj = (lane31 - fill) & 31
-        wsel = zeros
-        for b in (16, 8, 4, 2, 1):
-            nw = wsel + b
-            v = _taa(r, gbase + nw - 1)
-            wsel = jnp.where(v < jj + 1, nw, wsel)
-        val = _taa(outv, gbase | (wsel & 31))
+        if "search" not in _ABLATE:
+            wsel = zeros
+            for b in (16, 8, 4, 2, 1):
+                nw = wsel + b
+                v = _taa(r, gbase + nw - 1)
+                wsel = jnp.where(v < jj + 1, nw, wsel)
+            val = _taa(outv, gbase | (wsel & 31))
+        else:
+            val = outv
         hit = jj < cnt
         win_lo = jnp.where(hit & (lane31 >= fill), val, win_lo)
         win_hi = jnp.where(hit & (lane31 < fill), val, win_hi)
