@@ -27,6 +27,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process runtime, sweeps)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
