@@ -217,11 +217,19 @@ def _decode_kernel(
     sh1 = ((2 * lane + 1) & 3) << 3
 
     # ---- tile-range DMA + per-block realign ----
-    dma = pltpu.make_async_copy(
+    # Cross-step DMA pipelining: tile i+1's payload copy is issued as soon
+    # as realign() has drained tilebuf for tile i, so the next tile's HBM
+    # read overlaps this tile's decode compute. Step 0 issues its own copy;
+    # every step waits on the copy issued for it (same descriptor).
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            arc_ref.at[pl.ds(tile_row0_ref[0], RT), :], tilebuf, dma_sem
+        ).start()
+
+    pltpu.make_async_copy(
         arc_ref.at[pl.ds(tile_row0_ref[i], RT), :], tilebuf, dma_sem
-    )
-    dma.start()
-    dma.wait()
+    ).wait()
 
     streams = (st0, st1, st2, st3)
 
@@ -236,6 +244,12 @@ def _decode_kernel(
     else:
         for g in range(BPR):
             streams[g][0] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        pltpu.make_async_copy(
+            arc_ref.at[pl.ds(tile_row0_ref[i + 1], RT), :], tilebuf, dma_sem
+        ).start()
 
     meta = meta_ref[:]
     uncomp = _taa(meta, gbase)  # block symbol count (drives the act mask)
