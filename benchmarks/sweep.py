@@ -149,8 +149,11 @@ def main():
             x = rng.standard_normal(B * Lw).astype(np.float32)
             w = (x.view(np.uint32) >> 16).astype(np.uint16)
             batches.append(jnp.asarray(w.view(np.uint32).reshape(B, Lw // 2)))
+        # encode: ONE stage-1 grid with per-row tables and member-spanning
+        # tiles (vmap of the single-tensor pipeline leaves the hot loop on
+        # member-sized tiles)
         bcompress = jax.jit(
-            jax.vmap(lambda w: pfc.float_compress_padded_pallas(w, nw, ft, 10, False))
+            lambda w: pfc.float_compress_batched_pallas(w, nw, ft, 10, False)
         )
         # decode: ONE multi-archive grid with per-row tables (vmap of the
         # single-archive kernel serializes the 128 small grids)

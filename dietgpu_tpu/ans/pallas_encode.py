@@ -98,6 +98,7 @@ def _prefix_matrix():
 def _encode_kernel(
     prob_bits: int,
     T: int,
+    per_row_tables: bool,
     meta_ref,  # VMEM (T,128): lane 32g+0 = symbol count of block 4*row+g
     data_ref,  # VMEM (T,32,128): [r, 8g+c, :] = block 4r+g input chunk c
     pcs_ref,
@@ -112,7 +113,14 @@ def _encode_kernel(
     warp analogue x4). Each group keeps a 32-slot append window; the
     ballot/popc stream compaction is one block-diagonal MXU prefix matmul
     and a single cross-group binary search; full windows flush as aligned
-    page QUARTERS straight into the staging pages."""
+    page QUARTERS straight into the staging pages.
+
+    With per_row_tables, the (pdf|cdf|shift) and magic tables are
+    per-sublane-row inputs instead of grid-wide broadcasts — each row
+    encodes against a DIFFERENT probability table, so one grid encodes a
+    whole batch of independent archives (the batched-decode trick applied
+    to encode; zero in-kernel cost since the lane gathers need (T,128)
+    operands either way)."""
     lane = jax.lax.broadcasted_iota(_I32, (T, 128), 1)
     lane31 = lane & 31
     gid = _srl(lane, 5)
@@ -124,10 +132,17 @@ def _encode_kernel(
     meta = meta_ref[:]
     uncomp = _taa(meta, gbase)  # block symbol count (drives the act mask)
 
-    pcs = [jnp.broadcast_to(pcs_ref[r : r + 1, :], (T, 128)) for r in range(2)]
-    magic = [
-        jnp.broadcast_to(magic_ref[r : r + 1, :], (T, 128)) for r in range(2)
-    ]
+    if per_row_tables:
+        pcs = [pcs_ref[:, r, :] for r in range(2)]
+        magic = [magic_ref[:, r, :] for r in range(2)]
+    else:
+        pcs = [
+            jnp.broadcast_to(pcs_ref[r : r + 1, :], (T, 128)) for r in range(2)
+        ]
+        magic = [
+            jnp.broadcast_to(magic_ref[r : r + 1, :], (T, 128))
+            for r in range(2)
+        ]
     pre = pre_ref[0]
     gones = pre_ref[1]
 
@@ -285,10 +300,25 @@ def _encode_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_encode_call(NBp: int, prob_bits: int, T: int):
+def _build_encode_call(NBp: int, prob_bits: int, T: int,
+                       per_row_tables: bool = False):
     grid = NBp // (BPR * T)
-    kernel = functools.partial(_encode_kernel, prob_bits, T)
+    kernel = functools.partial(_encode_kernel, prob_bits, T, per_row_tables)
     NR = NBp // BPR
+    if per_row_tables:
+        table_specs = [
+            pl.BlockSpec(
+                (T, 2, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (T, 2, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -303,8 +333,7 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int):
                 (T, BPR * (S // CHUNK), 128), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *table_specs,
             pl.BlockSpec(
                 (2, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -610,6 +639,27 @@ def ans_encode_padded_pallas(
             data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
             use_checksum=use_checksum,
         )
+    arc32, size = _encode_finish(
+        staged, counts, states_out, uncomp, checksum, pdf, length,
+        L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
+        block_tile=block_tile, static_n=static_n,
+    )
+    if return_u32:
+        return arc32, size
+    return layout.u32_to_u8le(arc32), size
+
+
+def _encode_finish(
+    staged, counts, states_out, uncomp, checksum, pdf, length,
+    L: int, NBp: int, T: int, prob_bits: int, use_checksum: bool,
+    block_tile: int, static_n: int | None,
+):
+    """Stage 2 (section prefill) + payload assembly + archive stitch.
+
+    Shared by the single-archive driver and the batched driver (where it is
+    vmapped per member over the batched stage-1 kernel's per-member slices;
+    with static_n all offsets are python ints, so the vmapped DUS/slices
+    stay strided instead of lowering to gathers)."""
     with annotate("ans.sections"):
         arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
             staged, counts, states_out, uncomp, checksum, pdf, length,
@@ -634,10 +684,124 @@ def ans_encode_padded_pallas(
         arc_rows = jax.lax.dynamic_update_slice(
             arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
         )
-    arc32 = arc_rows.reshape(-1).astype(_U32)
-    if return_u32:
-        return arc32, size
-    return layout.u32_to_u8le(arc32), size
+    return arc_rows.reshape(-1).astype(_U32), size
+
+
+def ans_encode_batched_pallas(
+    datas: jnp.ndarray,
+    length,
+    pdfs: jnp.ndarray,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    use_checksum: bool = False,
+    block_tile: int = 256,
+    tile_rows: int = 128,
+):
+    """Encode B independent archives with ONE stage-1 kernel grid.
+
+    The encode analogue of `ans_decode_batched_pallas`: every sublane row
+    carries its own member's (pdf|cdf|shift)/magic tables (per-row table
+    inputs), so the hot encode loop runs one grid whose tiles SPAN members
+    — small members no longer force small (per-op-overhead-bound) tiles the
+    way vmapping the single-archive kernel does. Stage 2 + assembly run
+    vmapped per member with fully static geometry.
+
+    Args:
+      datas: (B, L4) u32 — member m's bytes packed little-endian 4-per-u32,
+        zero-padded to L = 4*L4 bytes (a multiple of 4096).
+      length: per-member byte count — a python int (all members equal; the
+        reference benchmark's batched shape) or a (B,) i32 array.
+      pdfs: (B, 256) u32 quantized per-member pdfs (sum 2^prob_bits each).
+
+    Returns (archives (B, A4) u32, sizes (B,) u32) with A4 =
+    archive_buffer_bytes_pallas(L, block_tile)//4; SIZE_OVERFLOW_BIT flags
+    per-block payload overflow per member.
+    """
+    B, L4 = datas.shape
+    L = 4 * L4
+    assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
+    NB = L // C.DEFAULT_BLOCK_SIZE
+    # member block count padded to the (member-level) assembly tile, so the
+    # vmapped stage 2 / assembly see the same geometry as the single driver
+    T_asm = C.round_up(max(32, min(block_tile, C.round_up(NB, 32))), 32)
+    NBm = C.round_up(NB, T_asm)
+    NR_m = NBm // BPR
+    rows = B * NR_m
+
+    static_n = length if isinstance(length, int) else None
+    lengths = (
+        jnp.full((B,), length, _I32)
+        if static_n is not None
+        else jnp.asarray(length, _I32)
+    )
+
+    # largest spanning tile (multiple of 8 rows) that divides the row count
+    tile = 0
+    for t in range(min(tile_rows, rows), 7, -8):
+        if rows % t == 0:
+            tile = t
+            break
+    assert tile > 0, f"no 8-multiple tile divides {rows} rows"
+
+    # per-member block symbol counts -> dense meta rows
+    bidx = jnp.arange(NBm, dtype=_I32)
+    nbs = (lengths + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
+    tails = lengths - (nbs - 1) * C.DEFAULT_BLOCK_SIZE
+    uncomp = jnp.where(
+        bidx[None, :] < nbs[:, None], C.DEFAULT_BLOCK_SIZE, 0
+    )
+    uncomp = jnp.where(
+        bidx[None, :] == (nbs - 1)[:, None], tails[:, None], uncomp
+    ).astype(_I32)
+    meta3 = jnp.zeros((B, NR_m, BPR, W), _I32)
+    meta3 = meta3.at[:, :, :, 0].set(uncomp.reshape(B, NR_m, BPR))
+    meta = meta3.reshape(rows, 128)
+
+    # per-row tables: each member's tables broadcast over its NR_m rows
+    pcs_m, magic_m = jax.vmap(build_encode_tables)(pdfs)
+    pcs_rows = jnp.broadcast_to(
+        pcs_m[:, None], (B, NR_m, 2, 128)
+    ).reshape(rows, 2, 128)
+    magic_rows = jnp.broadcast_to(
+        magic_m[:, None], (B, NR_m, 2, 128)
+    ).reshape(rows, 2, 128)
+
+    d32 = datas.astype(_I32)
+    if NBm > NB:
+        d32 = jnp.concatenate(
+            [d32, jnp.zeros((B, (NBm - NB) * S * W // 4), _I32)], axis=1
+        )
+    d32 = d32.reshape(rows, BPR * (S // CHUNK), 128)
+
+    pre = jnp.asarray(_prefix_matrix(), jnp.bfloat16)
+    with annotate("ans.encode_kernel_batched"):
+        call = _build_encode_call(
+            rows * BPR, prob_bits, tile, per_row_tables=True
+        )
+        staged, counts, states_out = call(
+            meta, d32, pcs_rows, magic_rows, pre
+        )
+
+    checksums = (
+        jax.vmap(lambda d, n: checksum_u32(d, n))(datas, lengths)
+        if use_checksum
+        else jnp.zeros(B, _U32)
+    )
+
+    finish = functools.partial(
+        _encode_finish,
+        L=L, NBp=NBm, T=T_asm,
+        prob_bits=prob_bits, use_checksum=use_checksum,
+        block_tile=block_tile, static_n=static_n,
+    )
+    return jax.vmap(finish)(
+        staged.reshape(B, NR_m, BPR * PAGES, 128),
+        counts.reshape(B, NR_m, 128),
+        states_out.reshape(B, NR_m, 128),
+        uncomp,
+        checksums,
+        pdfs,
+        lengths,
+    )
 
 
 # Tail slack so the DENSE DECODER's fixed-size tile DMA (RT rows per tile,

@@ -187,6 +187,122 @@ def float_decompress_padded_pallas(
     return result
 
 
+def float_compress_batched_pallas(
+    words: jnp.ndarray,
+    length: int,
+    float_type: int,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+    use_checksum: bool = False,
+):
+    """Compress B equal-length float tensors with ONE stage-1 encode grid.
+
+    The batched-encode analogue of `float_decompress_batched_pallas` (the
+    reference's 128-way benchmark scenario, benchmark.py:149-221): the
+    split kernels vmap into one batched grid, per-member histograms feed
+    per-member pdfs, and the rANS hot loop runs one grid whose tiles span
+    members via per-row tables (`ans_encode_batched_pallas`) — vmapping the
+    single-tensor pipeline instead leaves the encode kernel on small
+    member-sized tiles. Stage 2 + assembly vmap with static geometry.
+
+    Args:
+      words: f16/bf16: (B, Lw//2) u32 word-pairs; f32: (B, Lw) u32 words.
+      length: static per-member word count (every member equal — the
+        batched benchmark shape; ragged batches should use the vmapped
+        single-tensor path).
+
+    Returns (archives (B, F4) u32, sizes (B,) u32 bytes).
+    """
+    assert isinstance(length, int), "batched compress needs a static length"
+    assert words.dtype in (_U32, _I32)
+    B = words.shape[0]
+    is_f32 = float_type == C.FLOAT_TYPE_FLOAT32
+    Lw = words.shape[1] * (1 if is_f32 else 2)
+    assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
+    assert 0 < length <= Lw
+
+    # tail mask (identical across members: static length)
+    if is_f32:
+        valid = jnp.arange(Lw, dtype=_I32) < length
+        wz = jnp.where(valid[None, :], words.astype(_U32), _U32(0))
+        exp32, lo32, hi32, hist = jax.vmap(pf.split_words_pallas_f32)(wz)
+        total = pf.split_total_words_f32(Lw)
+    else:
+        idx2 = jnp.arange(Lw // 2, dtype=_I32)
+        full = idx2 < (length >> 1)
+        half = idx2 == (length >> 1)
+        tailmask = _U32(0xFFFF) if (length & 1) else _U32(0)
+        w32 = words.astype(_U32)
+        wz = jnp.where(
+            full[None, :],
+            w32,
+            jnp.where(half[None, :], w32 & tailmask, _U32(0)),
+        )
+        exp32, nc32, hist = jax.vmap(
+            lambda p: pf.split_words_pallas(p, float_type)
+        )(wz)
+        total = pf.split_total_words(Lw)
+
+    exp32 = exp32[:, : Lw // 4].astype(_U32)
+    hist = hist.at[:, 0].add(-_U32(total - length))
+    pdfs = jax.vmap(
+        lambda h: stats.normalize_probs(h, _U32(length), prob_bits)
+    )(hist)
+
+    ans_arcs, ans_sizes = penc.ans_encode_batched_pallas(
+        exp32, length, pdfs, prob_bits, use_checksum=False,
+    )
+
+    if use_checksum:
+        from ..ans.checksum import checksum_u32
+
+        word_bytes = length * (4 if is_f32 else 2)
+        checksums = jax.vmap(lambda w: checksum_u32(w, word_bytes))(wz)
+    else:
+        checksums = jnp.zeros(B, _U32)
+
+    F4 = float_archive_u32_bytes(float_type, Lw) // 4
+    opt = _U32((float_type & 0xF) | (int(use_checksum) << 4))
+
+    if is_f32:
+        lo_len32 = C.round_up(length, 8) >> 1
+        hi_len32 = C.round_up(length, 16) >> 2
+        plane32 = lo_len32 + hi_len32
+
+        def one(ck, lo, hi, ans):
+            header = jnp.array(
+                [(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, length, 0, 0], _U32
+            ).at[2].set(opt).at[3].set(ck)
+            buf = jnp.zeros(F4, _U32)
+            buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+            buf = jax.lax.dynamic_update_slice(
+                buf, lo[: Lw // 2].astype(_U32), (4,)
+            )
+            buf = jax.lax.dynamic_update_slice(
+                buf, hi[: Lw // 4].astype(_U32), (4 + lo_len32,)
+            )
+            return jax.lax.dynamic_update_slice(buf, ans, (4 + plane32,))
+
+        bufs = jax.vmap(one)(checksums, lo32, hi32, ans_arcs)
+    else:
+        plane32 = C.round_up(length, 16) >> 2
+
+        def one(ck, nc, ans):
+            header = jnp.array(
+                [(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, length, 0, 0], _U32
+            ).at[2].set(opt).at[3].set(ck)
+            buf = jnp.zeros(F4, _U32)
+            buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+            buf = jax.lax.dynamic_update_slice(
+                buf, nc[: Lw // 4].astype(_U32), (4,)
+            )
+            return jax.lax.dynamic_update_slice(buf, ans, (4 + plane32,))
+
+        bufs = jax.vmap(one)(checksums, nc32, ans_arcs)
+
+    sizes = _U32(16 + plane32 * 4) + ans_sizes
+    return bufs, sizes
+
+
 def float_decompress_batched_pallas(
     archives: jnp.ndarray,
     float_type: int,

@@ -467,3 +467,105 @@ def test_pallas_ans_tpu_mixed_compressibility(rng):
     r = jax.jit(lambda a: pdec.ans_decode_padded_pallas(a, 10, L, False))(arc)
     assert bool(r["success"])
     assert np.array_equal(np.asarray(r["out"])[:n], mix)
+
+
+def test_pallas_batched_ans_encode_interpret(interpret_pallas, rng):
+    """One-grid batched encode (per-row tables, member-spanning tiles)
+    produces byte-identical archives to the single-tensor pallas path and
+    the oracle, for members with genuinely different tables."""
+    from dietgpu_tpu.ans import pallas_encode as penc
+    from dietgpu_tpu.ref import ans_ref
+
+    B = 3
+    L = 2 * C.DEFAULT_BLOCK_SIZE
+    n = L  # static equal lengths (the batched benchmark shape)
+    datas = [
+        _expo_bytes(rng, n, lam=4 * (m + 1)) for m in range(B)
+    ]
+    d32 = jnp.asarray(
+        np.stack([d.view(np.uint32) for d in datas])
+    )
+    pdfs = jnp.asarray(
+        np.stack(
+            [
+                np.asarray(
+                    ans_ref.normalize_probs(
+                        ans_ref.histogram_u8(d), n, 10
+                    )
+                )
+                for d in datas
+            ]
+        ).astype(np.uint32)
+    )
+    arcs, sizes = penc.ans_encode_batched_pallas(d32, n, pdfs, 10)
+    arcs = np.asarray(arcs)
+    sizes = np.asarray(sizes)
+    for m, data in enumerate(datas):
+        oracle = ans_ref.ans_encode(data, prob_bits=10)
+        assert sizes[m] == oracle.size, m
+        assert np.array_equal(
+            arcs[m].view(np.uint8)[: oracle.size], oracle
+        ), m
+
+
+def test_pallas_batched_float_encode_interpret(interpret_pallas, rng):
+    """Batched float compress (one stage-1 grid) emits byte-identical
+    archives to the single-tensor pipeline; batched decode roundtrips."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+    from dietgpu_tpu.ref import float_ref
+
+    B = 3
+    nw = 2 * C.DEFAULT_BLOCK_SIZE  # words per member (static, equal)
+    ft = C.FLOAT_TYPE_BFLOAT16
+    words = []
+    for m in range(B):
+        x = rng.standard_normal(nw).astype(np.float32) * (m + 1)
+        words.append((x.view(np.uint32) >> 16).astype(np.uint16))
+    pairs = jnp.asarray(np.stack([w.view(np.uint32) for w in words]))
+
+    arcs, sizes = pfc.float_compress_batched_pallas(pairs, nw, ft, 10)
+    arcs_h = np.asarray(arcs)
+    sizes_h = np.asarray(sizes)
+    for m in range(B):
+        oracle = float_ref.float_compress(words[m], ft, prob_bits=10)
+        assert sizes_h[m] == oracle.size, m
+        assert np.array_equal(
+            arcs_h[m].view(np.uint8)[: oracle.size], oracle
+        ), m
+        single, s1 = pfc.float_compress_padded_pallas(
+            jnp.asarray(words[m].view(np.uint32)), nw, ft, 10
+        )
+        assert int(s1) == sizes_h[m]
+        assert np.array_equal(np.asarray(single), arcs_h[m][: single.shape[0]])
+
+    res = pfc.float_decompress_batched_pallas(
+        jnp.asarray(arcs_h), ft, nw, 10, static_length=nw
+    )
+    assert np.asarray(res["success"]).all()
+    out = np.asarray(res["out32"]).view(np.uint16).reshape(B, nw)
+    for m in range(B):
+        assert np.array_equal(out[m], words[m]), m
+
+
+def test_pallas_batched_f32_encode_interpret(interpret_pallas, rng):
+    """Batched f32 compress: two-plane layout, one stage-1 grid."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+    from dietgpu_tpu.ref import float_ref
+
+    B = 2
+    nw = C.DEFAULT_BLOCK_SIZE
+    ft = C.FLOAT_TYPE_FLOAT32
+    words = [
+        (rng.standard_normal(nw) * (m + 1)).astype(np.float32).view(np.uint32)
+        for m in range(B)
+    ]
+    arcs, sizes = pfc.float_compress_batched_pallas(
+        jnp.asarray(np.stack(words)), nw, ft, 10
+    )
+    arcs_h = np.asarray(arcs)
+    for m in range(B):
+        oracle = float_ref.float_compress(words[m], ft, prob_bits=10)
+        assert int(np.asarray(sizes)[m]) == oracle.size, m
+        assert np.array_equal(
+            arcs_h[m].view(np.uint8)[: oracle.size], oracle
+        ), m
