@@ -116,17 +116,22 @@ def max_float_compressed_output_size(ts: Sequence[jax.Array]) -> tuple[int, int]
 
 
 @functools.lru_cache(maxsize=None)
-def _batch_ans_encode(L: int, prob_bits: int, checksum: bool):
+def _batch_ans_encode(L: int, prob_bits: int, checksum: bool, backend: str):
     def one(d, n):
-        return backend_mod.ans_encode_padded(d, n, prob_bits, checksum)
+        return backend_mod.ans_encode_padded(
+            d, n, prob_bits, checksum, backend=backend
+        )
 
     return jax.jit(jax.vmap(one))
 
 
 @functools.lru_cache(maxsize=None)
-def _batch_ans_decode(A: int, L: int, prob_bits: int, checksum: bool):
+def _batch_ans_decode(A: int, L: int, prob_bits: int, checksum: bool,
+                      backend: str):
     def one(arc, cap):
-        r = backend_mod.ans_decode_padded(arc, prob_bits, L, checksum)
+        r = backend_mod.ans_decode_padded(
+            arc, prob_bits, L, checksum, backend=backend
+        )
         ok = r["success"] & (r["size"] <= cap.astype(jnp.uint32))
         return r["out"], r["size"], ok, r["checksum_ok"]
 
@@ -134,8 +139,25 @@ def _batch_ans_decode(A: int, L: int, prob_bits: int, checksum: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _batch_float_encode(Lw: int, float_type: int, prob_bits: int, checksum: bool):
+def _batch_float_encode(Lw: int, float_type: int, prob_bits: int,
+                        checksum: bool, backend: str):
     def one(w, n):
+        if backend == "pallas":
+            # Pallas float pipeline (u32-native); the u8 conversion happens
+            # only at this API boundary
+            from .ans import layout as ans_layout
+            from .floatcodec import pallas_codec
+
+            if w.dtype == jnp.uint16:
+                pairs = jax.lax.bitcast_convert_type(
+                    w.reshape(Lw // 2, 2), jnp.uint32
+                )
+            else:
+                pairs = w
+            buf32, size = pallas_codec.float_compress_padded_pallas(
+                pairs, n, float_type, prob_bits, checksum
+            )
+            return ans_layout.u32_to_u8le(buf32), size
         return float_codec_mod.float_compress_padded(
             w, n, float_type, prob_bits, checksum
         )
@@ -144,8 +166,25 @@ def _batch_float_encode(Lw: int, float_type: int, prob_bits: int, checksum: bool
 
 
 @functools.lru_cache(maxsize=None)
-def _batch_float_decode(F: int, Lw: int, float_type: int, prob_bits: int, checksum: bool):
+def _batch_float_decode(F: int, Lw: int, float_type: int, prob_bits: int,
+                        checksum: bool, backend: str):
     def one(arc, cap):
+        if backend == "pallas":
+            from .ans import layout as ans_layout
+            from .floatcodec import pallas_codec
+
+            arc32 = ans_layout.u8_to_u32le(arc)
+            r = pallas_codec.float_decompress_padded_pallas(
+                arc32, float_type, Lw, prob_bits, checksum
+            )
+            if float_type == C.FLOAT_TYPE_FLOAT32:
+                out = r["out32"].astype(jnp.uint32)
+            else:
+                out = jax.lax.bitcast_convert_type(
+                    r["out32"].astype(jnp.uint32), jnp.uint16
+                ).reshape(Lw)
+            ok = r["success"] & (r["size"] <= cap.astype(jnp.uint32))
+            return out, r["size"], ok, r["checksum_ok"]
         r = float_codec_mod.float_decompress_padded(
             arc, float_type, Lw, prob_bits, checksum
         )
@@ -188,7 +227,9 @@ def compress_data(
         padded = jnp.stack(
             [jnp.pad(w, (0, Lw - w.size)) for w in words]
         )
-        fn = _batch_float_encode(Lw, ft, prob_bits, checksum)
+        fn = _batch_float_encode(
+            Lw, ft, prob_bits, checksum, backend_mod.default_backend()
+        )
         comp, sizes = fn(padded, jnp.asarray(lens))
         max_size = int(lens.max()) * C.float_word_size(ft)
     else:
@@ -196,7 +237,9 @@ def compress_data(
         lens = np.array([d.size for d in datas], np.int32)
         L = _bucket_words(int(lens.max()))
         padded = jnp.stack([jnp.pad(d, (0, L - d.size)) for d in datas])
-        fn = _batch_ans_encode(L, prob_bits, checksum)
+        fn = _batch_ans_encode(
+            L, prob_bits, checksum, backend_mod.default_backend()
+        )
         comp, sizes = fn(padded, jnp.asarray(lens))
         max_size = int(lens.max())
 
@@ -340,13 +383,21 @@ def decompress_data(
     """
     B = len(ts_in)
     assert len(ts_out) == B and B > 0
+    backend = backend_mod.default_backend()
     if compress_as_float:
         ft = float_type_of(ts_out[0].dtype)
         caps = np.array([t.size for t in ts_out], np.int32)
         Lw = _bucket_words(int(caps.max()))
-        F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
+        if backend == "pallas":
+            # u32-row buffer with tile-DMA slack: the decode kernel's
+            # in-place fast path needs it
+            from .floatcodec import pallas_codec
+
+            F = pallas_codec.float_archive_u32_bytes(ft, Lw)
+        else:
+            F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
         arcs = _stack_archives(ts_in, F)
-        fn = _batch_float_decode(F, Lw, ft, prob_bits, checksum)
+        fn = _batch_float_decode(F, Lw, ft, prob_bits, checksum, backend)
         out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
         outs = [
             jax.lax.bitcast_convert_type(
@@ -358,9 +409,14 @@ def decompress_data(
     else:
         caps = np.array([_byte_length(t) for t in ts_out], np.int32)
         L = _bucket_words(int(caps.max()))
-        A = ans_encode_mod.archive_buffer_bytes(L)
+        if backend == "pallas":
+            from .ans import pallas_encode as pallas_encode_mod
+
+            A = pallas_encode_mod.archive_buffer_bytes_pallas(L)
+        else:
+            A = ans_encode_mod.archive_buffer_bytes(L)
         arcs = _stack_archives(ts_in, A)
-        fn = _batch_ans_decode(A, L, prob_bits, checksum)
+        fn = _batch_ans_decode(A, L, prob_bits, checksum, backend)
         out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
         outs = []
         for i, t in enumerate(ts_out):

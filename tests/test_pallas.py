@@ -569,3 +569,47 @@ def test_pallas_batched_f32_encode_interpret(interpret_pallas, rng):
         assert np.array_equal(
             arcs_h[m].view(np.uint8)[: oracle.size], oracle
         ), m
+
+
+def test_api_routes_pallas_backend_interpret(interpret_pallas, rng, monkeypatch):
+    """The 10-op batch API must ride the Pallas pipelines when the backend
+    is pallas (TPU): float + raw-ANS compress/decompress roundtrip through
+    api.* with DIETTPU_BACKEND=pallas, archives byte-identical to the XLA
+    backend's."""
+    monkeypatch.setenv("DIETTPU_BACKEND", "pallas")
+    from dietgpu_tpu import api
+
+    # float path (bf16 + f32), ragged batch
+    t0 = jnp.asarray(
+        (rng.standard_normal(5000).astype(np.float32).view(np.uint32) >> 16)
+        .astype(np.uint16)
+    ).view(jnp.bfloat16)
+    t1 = jnp.asarray(rng.standard_normal(123).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    comp, sizes, _ = api.compress_data(True, [t0, t1])
+    sizes_h = np.asarray(sizes)
+    rows = [comp[i, : sizes_h[i]] for i in range(2)]
+    outs, status, out_sizes, _ = api.decompress_data(
+        True, rows, [jnp.zeros_like(t0), jnp.zeros_like(t1)]
+    )
+    assert np.asarray(status).all()
+    assert np.array_equal(np.asarray(outs[0]), np.asarray(t0))
+    assert np.array_equal(np.asarray(outs[1]), np.asarray(t1))
+
+    # archives byte-identical to the XLA backend
+    monkeypatch.setenv("DIETTPU_BACKEND", "xla")
+    comp_x, sizes_x, _ = api.compress_data(True, [t0, t1])
+    sx = np.asarray(sizes_x)
+    assert np.array_equal(sx, sizes_h)
+    for i in range(2):
+        assert np.array_equal(
+            np.asarray(comp[i, : sizes_h[i]]), np.asarray(comp_x[i, : sx[i]])
+        )
+
+    # raw ANS path through the pallas backend
+    monkeypatch.setenv("DIETTPU_BACKEND", "pallas")
+    b0 = jnp.asarray(_expo_bytes(rng, 6000))
+    arcs = api.compress_data_simple(False, [b0])
+    outs = api.decompress_data_simple(False, arcs)
+    assert np.array_equal(np.asarray(outs[0]), np.asarray(b0))
