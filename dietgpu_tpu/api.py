@@ -166,6 +166,98 @@ def _batch_float_encode(Lw: int, float_type: int, prob_bits: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _batch_ans_encode_onegrid(L: int, n: int, prob_bits: int, checksum: bool):
+    """Uniform-length batch: ONE encode grid spanning all members
+    (per-row tables), vs. vmap's serialized member-sized grids."""
+    from .ans import layout as ans_layout
+    from .ans import pallas_encode as penc
+    from .ans import pallas_hist
+    from .ans import stats
+
+    def fn(padded_u8):
+        d32 = jax.vmap(ans_layout.u8_to_u32le)(padded_u8)
+        hist = jax.vmap(
+            lambda d: pallas_hist.histogram_u8_pallas(d.astype(_I32), n)
+        )(d32)
+        pdfs = jax.vmap(
+            lambda h: stats.normalize_probs(h, jnp.uint32(n), prob_bits)
+        )(hist)
+        arcs, sizes = penc.ans_encode_batched_pallas(
+            d32, n, pdfs, prob_bits, use_checksum=checksum
+        )
+        return jax.vmap(ans_layout.u32_to_u8le)(arcs), sizes
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_float_encode_onegrid(
+    Lw: int, n: int, float_type: int, prob_bits: int, checksum: bool
+):
+    from .ans import layout as ans_layout
+    from .floatcodec import pallas_codec
+
+    def fn(padded):
+        if padded.dtype == jnp.uint16:
+            words = jax.lax.bitcast_convert_type(
+                padded.reshape(-1, Lw // 2, 2), jnp.uint32
+            )
+        else:
+            words = padded.astype(jnp.uint32)
+        bufs, sizes = pallas_codec.float_compress_batched_pallas(
+            words, n, float_type, prob_bits, checksum
+        )
+        return jax.vmap(ans_layout.u32_to_u8le)(bufs), sizes
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_ans_decode_onegrid(L: int, n: int, prob_bits: int):
+    from .ans import layout as ans_layout
+    from .ans import pallas_decode as pdec
+
+    static_nb = C.div_up(n, C.DEFAULT_BLOCK_SIZE)
+
+    def fn(arcs_u8):
+        arcs32 = jax.vmap(ans_layout.u8_to_u32le)(arcs_u8)
+        r = pdec.ans_decode_batched_pallas(
+            arcs32, prob_bits, L, static_nb=static_nb
+        )
+        ok = r["success"] & (r["size"] == jnp.uint32(n))
+        out = jax.vmap(ans_layout.u32_to_u8le)(r["out"])
+        return out, r["size"], ok
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_float_decode_onegrid(
+    Lw: int, n: int, float_type: int, prob_bits: int
+):
+    from .ans import layout as ans_layout
+    from .floatcodec import pallas_codec
+
+    def fn(arcs_u8):
+        arcs32 = jax.vmap(ans_layout.u8_to_u32le)(arcs_u8)
+        r = pallas_codec.float_decompress_batched_pallas(
+            arcs32, float_type, Lw, prob_bits, static_length=n
+        )
+        if float_type == C.FLOAT_TYPE_FLOAT32:
+            out = r["out32"].astype(jnp.uint32)
+        else:
+            out = jax.vmap(
+                lambda o: jax.lax.bitcast_convert_type(
+                    o.astype(jnp.uint32), jnp.uint16
+                ).reshape(Lw)
+            )(r["out32"])
+        ok = r["success"] & (r["size"] == jnp.uint32(n))
+        return out, r["size"], ok
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def _batch_float_decode(F: int, Lw: int, float_type: int, prob_bits: int,
                         checksum: bool, backend: str):
     def one(arc, cap):
@@ -216,6 +308,7 @@ def compress_data(
     """
     if len(ts_in) == 0:
         raise ValueError("empty batch")
+    backend = backend_mod.default_backend()
     if compress_as_float:
         ft = float_type_of(ts_in[0].dtype)
         for t in ts_in:
@@ -227,20 +320,33 @@ def compress_data(
         padded = jnp.stack(
             [jnp.pad(w, (0, Lw - w.size)) for w in words]
         )
-        fn = _batch_float_encode(
-            Lw, ft, prob_bits, checksum, backend_mod.default_backend()
-        )
-        comp, sizes = fn(padded, jnp.asarray(lens))
+        n0 = int(lens[0])
+        if backend == "pallas" and len(ts_in) > 1 and n0 > 0 and bool(
+            (lens == n0).all()
+        ):
+            # uniform-length batch: one encode grid spans all members
+            # (per-row tables) — the reference's 128-way batched scenario
+            # (benchmark.py:149-221) without vmap's serialized small grids
+            fn = _batch_float_encode_onegrid(Lw, n0, ft, prob_bits, checksum)
+            comp, sizes = fn(padded)
+        else:
+            fn = _batch_float_encode(Lw, ft, prob_bits, checksum, backend)
+            comp, sizes = fn(padded, jnp.asarray(lens))
         max_size = int(lens.max()) * C.float_word_size(ft)
     else:
         datas = [_as_u8(t) for t in ts_in]
         lens = np.array([d.size for d in datas], np.int32)
         L = _bucket_words(int(lens.max()))
         padded = jnp.stack([jnp.pad(d, (0, L - d.size)) for d in datas])
-        fn = _batch_ans_encode(
-            L, prob_bits, checksum, backend_mod.default_backend()
-        )
-        comp, sizes = fn(padded, jnp.asarray(lens))
+        n0 = int(lens[0])
+        if backend == "pallas" and len(ts_in) > 1 and n0 > 0 and bool(
+            (lens == n0).all()
+        ):
+            fn = _batch_ans_encode_onegrid(L, n0, prob_bits, checksum)
+            comp, sizes = fn(padded)
+        else:
+            fn = _batch_ans_encode(L, prob_bits, checksum, backend)
+            comp, sizes = fn(padded, jnp.asarray(lens))
         max_size = int(lens.max())
 
     temp_mem = ans_encode_mod.encode_scratch_bytes(max_size, len(ts_in))
@@ -373,6 +479,7 @@ def decompress_data(
     ts_out: Sequence[jax.Array],
     checksum: bool = False,
     prob_bits: int = C.DEFAULT_PROB_BITS,
+    _static_sizes: bool = False,
 ):
     """Decompress archives into arrays shaped/typed like ts_out.
 
@@ -380,6 +487,11 @@ def decompress_data(
     reference contract, status[b] is 0 and sizes[b] holds the required byte
     count when ts_out[b] is too small (GpuANSCodec.h:213-223). A checksum
     mismatch raises ValueError (DietGpu.cpp:617-620).
+
+    `_static_sizes` (internal, set by the `_simple` tier) promises every
+    ts_out[b] size equals the archive's exact stored size; a uniform batch
+    then rides ONE decode grid spanning all members (per-row tables)
+    instead of a vmap of member-sized grids.
     """
     B = len(ts_in)
     assert len(ts_out) == B and B > 0
@@ -388,6 +500,14 @@ def decompress_data(
         ft = float_type_of(ts_out[0].dtype)
         caps = np.array([t.size for t in ts_out], np.int32)
         Lw = _bucket_words(int(caps.max()))
+        onegrid = (
+            backend == "pallas"
+            and B > 1
+            and not checksum
+            and _static_sizes
+            and int(caps[0]) > 0
+            and bool((caps == caps[0]).all())
+        )
         if backend == "pallas":
             # u32-row buffer with tile-DMA slack: the decode kernel's
             # in-place fast path needs it
@@ -397,8 +517,15 @@ def decompress_data(
         else:
             F = float_codec_mod.float_archive_buffer_bytes(ft, Lw)
         arcs = _stack_archives(ts_in, F)
-        fn = _batch_float_decode(F, Lw, ft, prob_bits, checksum, backend)
-        out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
+        if onegrid:
+            fn = _batch_float_decode_onegrid(
+                Lw, int(caps[0]), ft, prob_bits
+            )
+            out, sizes, ok = fn(arcs)
+            cs_ok = jnp.ones((B,), jnp.bool_)
+        else:
+            fn = _batch_float_decode(F, Lw, ft, prob_bits, checksum, backend)
+            out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
         outs = [
             jax.lax.bitcast_convert_type(
                 out[i, : ts_out[i].size], ts_out[i].dtype
@@ -409,6 +536,14 @@ def decompress_data(
     else:
         caps = np.array([_byte_length(t) for t in ts_out], np.int32)
         L = _bucket_words(int(caps.max()))
+        onegrid = (
+            backend == "pallas"
+            and B > 1
+            and not checksum
+            and _static_sizes
+            and int(caps[0]) > 0
+            and bool((caps == caps[0]).all())
+        )
         if backend == "pallas":
             from .ans import pallas_encode as pallas_encode_mod
 
@@ -416,8 +551,13 @@ def decompress_data(
         else:
             A = ans_encode_mod.archive_buffer_bytes(L)
         arcs = _stack_archives(ts_in, A)
-        fn = _batch_ans_decode(A, L, prob_bits, checksum, backend)
-        out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
+        if onegrid:
+            fn = _batch_ans_decode_onegrid(L, int(caps[0]), prob_bits)
+            out, sizes, ok = fn(arcs)
+            cs_ok = jnp.ones((B,), jnp.bool_)
+        else:
+            fn = _batch_ans_decode(A, L, prob_bits, checksum, backend)
+            out, sizes, ok, cs_ok = fn(arcs, jnp.asarray(caps))
         outs = []
         for i, t in enumerate(ts_out):
             raw = out[i, : _byte_length(t)]
@@ -450,13 +590,12 @@ def decompress_data_simple(
             outs_spec.append(jnp.zeros(info["size"], dt))
         else:
             outs_spec.append(jnp.zeros(info["total_uncompressed_words"], jnp.uint8))
-    prob_bits = (
-        C.DEFAULT_PROB_BITS
-        if compress_as_float
-        else infos[0]["prob_bits"]
-    )
+    # prob_bits is self-described by the (embedded) ANS header — the
+    # reference never asks the caller for it on decode (GpuANSDecode.cuh:323)
+    prob_bits = infos[0]["prob_bits"]
     outs, status, sizes, _ = decompress_data(
-        compress_as_float, ts_in, outs_spec, checksum, prob_bits
+        compress_as_float, ts_in, outs_spec, checksum, prob_bits,
+        _static_sizes=True,
     )
     if not bool(jnp.all(status.astype(bool))):
         raise ValueError("decompression failed")
@@ -504,13 +643,56 @@ def decompress_data_split_size(
 # ---------------------------------------------------------------------------
 
 
+def get_compressed_info_device(
+    compress_as_float: bool, archives: jax.Array
+) -> dict[str, jax.Array]:
+    """Device-side (jittable, no host sync) archive info — the analogue of
+    ansGetCompressedInfoDevice / floatGetCompressedInfoDevice
+    (GpuANSInfo.cuh:16-37, GpuFloatInfo.cuh:18-41).
+
+    `archives` is a (B, >=32) u8 matrix, one archive per row (only the
+    header bytes are read). Returns device arrays:
+      float: {size (words), float_type, checksum, valid}
+      ans:   {size (words=bytes), prob_bits, checksum, valid}
+    """
+    if archives.ndim != 2 or archives.dtype != jnp.uint8:
+        raise ValueError("expects a (B, bytes) u8 archive matrix")
+    h = jax.lax.bitcast_convert_type(
+        archives[:, :32].reshape(-1, 8, 4), jnp.uint32
+    )
+    if compress_as_float:
+        valid = h[:, 0] == jnp.uint32(
+            (C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION
+        )
+        return {
+            "size": h[:, 1],
+            "float_type": h[:, 2] & jnp.uint32(0xF),
+            "checksum": h[:, 3],
+            "valid": valid,
+        }
+    valid = h[:, 0] == jnp.uint32((C.ANS_MAGIC << 16) | C.ANS_VERSION)
+    return {
+        "size": h[:, 2],
+        "prob_bits": h[:, 4] & jnp.uint32(0xF),
+        "checksum": h[:, 5],
+        "valid": valid,
+    }
+
+
 def get_compressed_info(compress_as_float: bool, ts_in: Sequence[jax.Array]):
     """Parse archive headers (host-side). Returns a list of dicts."""
     infos = []
     for t in ts_in:
         buf = np.asarray(jax.device_get(_as_u8(t)))
         if compress_as_float:
-            infos.append(float_ref.parse_float_header(buf))
+            info = float_ref.parse_float_header(buf)
+            # the embedded ANS archive self-describes its probBits
+            # (GpuANSUtils.cuh:205-206); surface it so the _simple tier
+            # decodes pb-9/11 float archives without caller hints
+            info["prob_bits"] = ans_ref.parse_header(
+                buf[info["ans_start"] :]
+            )["prob_bits"]
+            infos.append(info)
         else:
             infos.append(ans_ref.parse_header(buf))
     return infos

@@ -188,3 +188,54 @@ def test_decompress_split_size_alignment_check():
     t_out = jnp.zeros(100, jnp.uint8)
     with pytest.raises(ValueError, match="4-byte aligned"):
         api.decompress_data_split_size(False, [jnp.zeros(64, jnp.uint8)], t_out, [33, 67])
+
+
+def test_float_simple_self_describing_prob_bits(rng):
+    """decompress_data_simple must decode float archives at any probBits
+    without a caller hint — the embedded ANS header self-describes it
+    (GpuANSUtils.cuh:205-206; reference decode never takes probBits)."""
+    from dietgpu_tpu import api
+
+    t = jnp.asarray(rng.standard_normal(3000).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    for pb in (9, 11):
+        arcs = api.compress_data_simple(True, [t], prob_bits=pb)
+        infos = api.get_compressed_info(True, arcs)
+        assert infos[0]["prob_bits"] == pb
+        outs = api.decompress_data_simple(True, arcs)
+        assert np.array_equal(
+            np.asarray(outs[0]).view(np.uint16), np.asarray(t).view(np.uint16)
+        )
+
+
+def test_get_compressed_info_device(rng):
+    """Jittable device-side info parse matches the host-side tier
+    (ansGetCompressedInfoDevice / floatGetCompressedInfoDevice parity)."""
+    from dietgpu_tpu import api
+
+    t = jnp.asarray(rng.standard_normal(2000).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    comp, sizes, _ = api.compress_data(True, [t, t], checksum=True)
+    info_d = jax.jit(
+        lambda a: api.get_compressed_info_device(True, a)
+    )(comp)
+    infos_h = api.get_compressed_info(True, [comp[0], comp[1]])
+    assert np.asarray(info_d["valid"]).all()
+    for i in range(2):
+        assert int(np.asarray(info_d["size"])[i]) == infos_h[i]["size"]
+        assert (
+            int(np.asarray(info_d["float_type"])[i])
+            == infos_h[i]["float_type"]
+        )
+        assert int(np.asarray(info_d["checksum"])[i]) == infos_h[i]["checksum"]
+
+    b = jnp.asarray((rng.integers(0, 40, 5000)).astype(np.uint8))
+    comp2, _, _ = api.compress_data(False, [b], prob_bits=11, checksum=True)
+    info2 = api.get_compressed_info_device(False, comp2)
+    h2 = api.get_compressed_info(False, [comp2[0]])[0]
+    assert bool(np.asarray(info2["valid"])[0])
+    assert int(np.asarray(info2["size"])[0]) == h2["total_uncompressed_words"]
+    assert int(np.asarray(info2["prob_bits"])[0]) == 11
+    assert int(np.asarray(info2["checksum"])[0]) == h2["checksum"]

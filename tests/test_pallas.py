@@ -613,3 +613,50 @@ def test_api_routes_pallas_backend_interpret(interpret_pallas, rng, monkeypatch)
     arcs = api.compress_data_simple(False, [b0])
     outs = api.decompress_data_simple(False, arcs)
     assert np.array_equal(np.asarray(outs[0]), np.asarray(b0))
+
+
+def test_api_onegrid_uniform_batch_interpret(interpret_pallas, rng, monkeypatch):
+    """Uniform-length batches ride the ONE-GRID batched kernels through the
+    public API (compress_data + the _simple decode tier), with archives
+    byte-identical to the XLA backend — the reference's 128-way batched
+    scenario (benchmark.py:149-221) on the TPU path."""
+    monkeypatch.setenv("DIETTPU_BACKEND", "pallas")
+    from dietgpu_tpu import api
+
+    B, n = 3, 5000  # uniform, non-block-aligned (tail handling)
+    ts = [
+        jnp.asarray(
+            (rng.standard_normal(n).astype(np.float32).view(np.uint32) >> 16)
+            .astype(np.uint16)
+        ).view(jnp.bfloat16)
+        for _ in range(B)
+    ]
+    comp, sizes, _ = api.compress_data(True, ts)
+    sizes_h = np.asarray(sizes)
+
+    monkeypatch.setenv("DIETTPU_BACKEND", "xla")
+    comp_x, sizes_x, _ = api.compress_data(True, ts)
+    sx = np.asarray(sizes_x)
+    assert np.array_equal(sizes_h, sx)
+    for i in range(B):
+        assert np.array_equal(
+            np.asarray(comp[i, : sizes_h[i]]), np.asarray(comp_x[i, : sx[i]])
+        ), i
+
+    # one-grid decode through the _simple tier (exact static sizes)
+    monkeypatch.setenv("DIETTPU_BACKEND", "pallas")
+    arcs = [comp[i, : sizes_h[i]] for i in range(B)]
+    outs = api.decompress_data_simple(True, arcs)
+    for i in range(B):
+        assert outs[i].dtype == jnp.bfloat16
+        assert np.array_equal(
+            np.asarray(outs[i]).view(np.uint16),
+            np.asarray(ts[i]).view(np.uint16),
+        ), i
+
+    # raw ANS uniform batch: one-grid encode + one-grid _simple decode
+    bs = [jnp.asarray(_expo_bytes(rng, 6000)) for _ in range(B)]
+    arcs2 = api.compress_data_simple(False, bs)
+    outs2 = api.decompress_data_simple(False, arcs2)
+    for i in range(B):
+        assert np.array_equal(np.asarray(outs2[i]), np.asarray(bs[i])), i
