@@ -101,16 +101,20 @@ def _pack_matrices():
 
 @functools.lru_cache(maxsize=None)
 def _suffix_matrix():
-    """(2,128,128) block-diag constants, both applied to the read mask on
-    the MXU: [0] rank[32g+l] = sum_{w >= l} read[32g+w]; [1] group
-    all-ones so cnt[32g+l] = total readers of group g (replaces a VPU
-    broadcast-gather of rank's lane 0 with an overlapped matmul)."""
+    """(2,128,128) block-diag constants applied to the read mask on the
+    MXU. [0] packs BOTH reductions into one matmul: entry = suffix
+    (rank[32g+l] = sum_{w >= l} read[32g+w]) + 64 * group-ones, so the
+    product is rank + 64*cnt (rank <= 32 < 64; all entries — 65, 64, 1 —
+    and the result <= 32 + 64*32 are exact in bf16/f32). One matmul + one
+    convert replaces the former two-matmul / two-convert pair. [1] keeps
+    the plain group-ones for callers that need cnt alone."""
     m = np.zeros((2, 128, 128), np.float32)
     for g in range(BPR):
         for j in range(32):
             for l in range(j + 1):
                 m[0, 32 * g + j, 32 * g + l] = 1.0
         m[1, 32 * g : 32 * g + 32, 32 * g : 32 * g + 32] = 1.0
+    m[0] += 64.0 * m[1]
     return m
 
 
@@ -276,13 +280,17 @@ def _decode_kernel(
     plo = [plo_ref[d] for d in range(4)]
     phi = [phi_ref[d] for d in range(4)]
     suf = suf_ref[0]
-    gones = suf_ref[1]
+    # loop-invariant hoists: the activity threshold and the lane-group
+    # select masks (one compare per step instead of re-deriving both)
+    negu = lane31 - uncomp
+    gmask = [gid == gg for gg in range(1, BPR)]
 
     def one_step(kk, state, pos, wins, baseq):
         # lanes past the block's symbol count go inactive; the single
-        # subtract+compare covers full steps, the partial tail step, and
-        # dead blocks at once (kk is the step index, 32 symbols/step)
-        act = lane31 < (uncomp - (kk << 5))
+        # hoisted-subtract compare covers full steps, the partial tail
+        # step, and dead blocks at once (kk is the step index, 32
+        # symbols/step)
+        act = negu < -(kk << 5)
 
         s_bar = state & (K - 1)
         q = _srl(s_bar, 2)
@@ -306,16 +314,13 @@ def _decode_kernel(
         read = act & (state1 < C.ANS_MIN_STATE)
         if "rank" not in _ABLATE:
             rb = read.astype(jnp.bfloat16)
-            rank = jax.lax.dot_general(
+            # one matmul yields rank + 64*cnt packed (see _suffix_matrix)
+            rc = jax.lax.dot_general(
                 rb, suf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(_I32)
-            # group totals via a second (overlapped) matmul — cheaper than
-            # a VPU broadcast-gather of rank's group-base lane
-            cnt = jax.lax.dot_general(
-                rb, gones, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(_I32)
+            rank = rc & 63
+            cnt = _srl(rc, 6)
         else:
             rank = read.astype(_I32)
             cnt = _taa(rank, gbase)
@@ -325,7 +330,7 @@ def _decode_kernel(
             widx = (_srl(rj, 1) - baseq) & 127
             v32 = _taa(wins[0], widx)
             for gg in range(1, BPR):
-                v32 = jnp.where(gid == gg, _taa(wins[gg], widx), v32)
+                v32 = jnp.where(gmask[gg - 1], _taa(wins[gg], widx), v32)
             v16 = _srl(v32, (rj & 1) << 4) & 0xFFFF
         else:
             v16 = rj & 0xFFFF
@@ -337,28 +342,44 @@ def _decode_kernel(
     def refill(pos):
         """Per-group 256-u16-word windows covering the next 8 steps' reads.
 
+        One union page loop serves all four groups (four separate
+        dynamically-bounded loops drown the scalar core), and each group's
+        (base, hi) pair travels as ONE packed composite word — one lane
+        gather per group instead of two (both values < 2^11: off32 <= 127
+        plus half of MAX_COMP_WORDS_PER_BLOCK = 1280).
+
         Returns baseq = window base minus the block's off32, so the hot
         read path computes widx with one subtract instead of two."""
         hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
             return (zeros, zeros, zeros, zeros), base - off32
-        wins = []
+        cb = base | (hi << 11)
+        pgs, lis = [], []
+        lop = None
+        hip = None
         for gg in range(BPR):
-            bg = _taa(base, zeros + 32 * gg)
-            hg = _taa(hi, zeros + 32 * gg)
+            cbg = _taa(cb, zeros + 32 * gg)
+            bg = cbg & 0x7FF
+            hg = _srl(cbg, 11)
             g0 = bg + lane
-            pg = _srl(g0, 7)
-            li = g0 & 127
-            lop = jnp.min(bg) >> 7
-            hip = jnp.minimum(jnp.max(hg) >> 7, ROWS_PER_BLOCK - 1)
-            sref = streams[gg]
+            pgs.append(_srl(g0, 7))
+            lis.append(g0 & 127)
+            lop = bg if lop is None else jnp.minimum(lop, bg)
+            hip = hg if hip is None else jnp.maximum(hip, hg)
+        lo = jnp.min(lop) >> 7
+        hi_p = jnp.minimum(jnp.max(hip) >> 7, ROWS_PER_BLOCK - 1)
 
-            def page_body(p, acc):
-                return jnp.where(pg == p, _taa(sref[:, p, :], li), acc)
+        def page_body(p, accs):
+            return tuple(
+                jnp.where(pgs[gg] == p, _taa(streams[gg][:, p, :], lis[gg]), accs[gg])
+                for gg in range(BPR)
+            )
 
-            wins.append(jax.lax.fori_loop(lop, hip + 1, page_body, zeros))
-        return tuple(wins), base - off32
+        wins = jax.lax.fori_loop(
+            lo, hi_p + 1, page_body, (zeros, zeros, zeros, zeros)
+        )
+        return wins, base - off32
 
     def chunk_body(c, carry):
         state, pos, w0, w1, w2, w3, baseq = carry

@@ -83,15 +83,19 @@ def _umulhi_i32(a, b):
 @functools.lru_cache(maxsize=None)
 def _prefix_matrix():
     """(2,128,128) bf16 block-diag constants applied to the write mask on
-    the MXU: [0] incl_prefix[32g+l] = sum_{j <= l} write[32g+j]; [1] group
-    all-ones so cnt = total writers (replaces a VPU broadcast-gather of
-    the prefix's lane 31 with an overlapped matmul)."""
+    the MXU. [0] packs BOTH reductions into one matmul: entry = prefix
+    (incl_prefix[32g+l] = sum_{j <= l} write[32g+j]) + 64 * group-ones,
+    so the product is prefix + 64*cnt (prefix <= 32 < 64; the entries —
+    65, 64, 1 — and the result <= 32 + 64*32 are exact in bf16/f32). One
+    matmul + one convert replaces the former two-matmul pair. [1] keeps
+    plain group-ones for callers needing cnt alone."""
     m = np.zeros((2, 128, 128), np.float32)
     for g in range(4):
         for j in range(32):
             for l in range(j, 32):
                 m[0, 32 * g + j, 32 * g + l] = 1.0
         m[1, 32 * g : 32 * g + 32, 32 * g : 32 * g + 32] = 1.0
+    m[0] += 64.0 * m[1]
     return m
 
 
@@ -144,7 +148,6 @@ def _encode_kernel(
             for r in range(2)
         ]
     pre = pre_ref[0]
-    gones = pre_ref[1]
 
     # zero-init the staging pages (flushes do read-modify-write ORs)
     for p in range(4 * PAGES):
@@ -154,21 +157,28 @@ def _encode_kernel(
         """Store each group's full (or final partial) 32-slot window as an
         aligned quarter of its block's current page. One branchless union
         page loop serves all four groups (separate pl.when'd loops per group
-        drown the scalar core in control overhead)."""
+        drown the scalar core in control overhead).
+
+        The per-group (value, page, quarter, ready) tuple travels as ONE
+        packed composite word — one lane gather per group instead of three:
+        bits 0..15 window value, 16..20 page+1 (0 = not ready), 21..22
+        quarter. fill/base are group-uniform, so each lane packs its own
+        group's fields natively before the broadcast-gather."""
         if "flush" in _ABLATE:
             return
+        ready = (fill2 > 0) if partial else (fill2 >= 32)
+        pfield = jnp.where(
+            ready, jnp.minimum(_srl(base, 7), PAGES - 1) + 1, 0
+        )
+        comp = (win & 0xFFFF) | (pfield << 16) | ((_srl(base, 5) & 3) << 21)
         pggs, qvs, flvs, placed = [], [], [], []
         for g in range(BPR):
-            colg = zeros + 32 * g
-            flv = _taa(fill2, colg)
-            bsv = _taa(base, colg)
-            ready = (flv > 0) if partial else (flv >= 32)
-            pggs.append(
-                jnp.where(ready, jnp.minimum(_srl(bsv, 7), PAGES - 1), -1)
-            )
-            qvs.append(_srl(bsv, 5) & 3)
-            flvs.append(flv)
-            placed.append(_taa(win, lane31 + 32 * g))
+            compg = _taa(comp, lane31 + 32 * g)
+            placed.append(compg & 0xFFFF)
+            pggs.append((_srl(compg, 16) & 31) - 1)
+            qvs.append(_srl(compg, 21))
+            if partial:
+                flvs.append(_taa(fill2, zeros + 32 * g))
         quarter = _srl(lane, 5)
         pmax = jnp.maximum(
             jnp.maximum(pggs[0], pggs[1]), jnp.maximum(pggs[2], pggs[3])
@@ -235,18 +245,15 @@ def _encode_kernel(
             mod = state1 & ((1 << prob_bits) - 1)
         state2 = jnp.where(act, (div << prob_bits) + mod + cdf, state1)
 
-        # per-group inclusive prefix (ballot/popc) via one block-diag matmul
+        # per-group inclusive prefix (ballot/popc) AND group totals via ONE
+        # block-diag matmul: product = prefix + 64*cnt (see _prefix_matrix)
         wb = write.astype(jnp.bfloat16)
-        r = jax.lax.dot_general(
+        rc = jax.lax.dot_general(
             wb, pre, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(_I32)
-        # group totals via a second (overlapped) matmul instead of a VPU
-        # broadcast-gather of the prefix's last lane
-        cnt = jax.lax.dot_general(
-            wb, gones, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(_I32)
+        r = rc & 63
+        cnt = _srl(rc, 6)
 
         # append into the group's 32-slot window; one binary search serves
         # all four groups (rank gathers are group-offset)
