@@ -39,6 +39,33 @@ def main():
 
     from dietgpu_tpu import constants as C
 
+    # Device init through the axon tunnel can hang indefinitely when the
+    # remote worker is wedged; fail fast with an honest error line instead
+    # of stalling the driver forever.
+    import threading
+
+    devbox = {}
+
+    def _probe():
+        devbox["devices"] = jax.devices()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("DIETGPU_BENCH_INIT_TIMEOUT", "240")))
+    if "devices" not in devbox:
+        print(
+            json.dumps(
+                {
+                    "metric": "bf16_float_decode_GBps",
+                    "value": 0.0,
+                    "unit": "GB/s",
+                    "vs_baseline": 0.0,
+                    "error": "device init timeout (TPU worker unreachable)",
+                }
+            )
+        )
+        os._exit(1)
+
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "64"))
     # the tunnel's 1-element readback costs ~34 ms FIXED; enough iterations

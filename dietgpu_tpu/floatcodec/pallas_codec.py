@@ -80,7 +80,9 @@ def float_compress_padded_pallas(
     assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
 
     with annotate("float.split"):
-        exp32, nc32, hist = pf.split_words_pallas(pairs, float_type)
+        exp32, nc32, hist, fused_cks = pf.split_words_pallas(
+            pairs, float_type
+        )
         exp32 = exp32[: Lw // 4].astype(_U32)
         nc32 = nc32[: Lw // 4].astype(_U32)
     with annotate("float.stats"):
@@ -96,11 +98,9 @@ def float_compress_padded_pallas(
             use_checksum=False, precomputed_pdf=pdf, return_u32=True,
         )
 
-    checksum = _U32(0)
-    if use_checksum:
-        from ..ans.checksum import checksum_u32
-
-        checksum = checksum_u32(pairs, length * 2)
+    # checksum is fused into the split kernel (zero-padded tail words XOR
+    # to identity, so the padded accumulator equals the exact-length one)
+    checksum = fused_cks if use_checksum else _U32(0)
 
     header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
     header = header.at[1].set(length.astype(_U32))
@@ -224,7 +224,9 @@ def float_compress_batched_pallas(
     if is_f32:
         valid = jnp.arange(Lw, dtype=_I32) < length
         wz = jnp.where(valid[None, :], words.astype(_U32), _U32(0))
-        exp32, lo32, hi32, hist = jax.vmap(pf.split_words_pallas_f32)(wz)
+        exp32, lo32, hi32, hist, fused_cks = jax.vmap(
+            pf.split_words_pallas_f32
+        )(wz)
         total = pf.split_total_words_f32(Lw)
     else:
         idx2 = jnp.arange(Lw // 2, dtype=_I32)
@@ -237,7 +239,7 @@ def float_compress_batched_pallas(
             w32,
             jnp.where(half[None, :], w32 & tailmask, _U32(0)),
         )
-        exp32, nc32, hist = jax.vmap(
+        exp32, nc32, hist, fused_cks = jax.vmap(
             lambda p: pf.split_words_pallas(p, float_type)
         )(wz)
         total = pf.split_total_words(Lw)
@@ -252,13 +254,9 @@ def float_compress_batched_pallas(
         exp32, length, pdfs, prob_bits, use_checksum=False,
     )
 
-    if use_checksum:
-        from ..ans.checksum import checksum_u32
-
-        word_bytes = length * (4 if is_f32 else 2)
-        checksums = jax.vmap(lambda w: checksum_u32(w, word_bytes))(wz)
-    else:
-        checksums = jnp.zeros(B, _U32)
+    # checksums are fused into the split kernels (zero tail words XOR to
+    # identity, so the padded accumulator equals the exact-length one)
+    checksums = fused_cks if use_checksum else jnp.zeros(B, _U32)
 
     F4 = float_archive_u32_bytes(float_type, Lw) // 4
     opt = _U32((float_type & 0xF) | (int(use_checksum) << 4))
@@ -386,7 +384,7 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
     valid = jnp.arange(Lw, dtype=_I32) < length
     wz = jnp.where(valid, words.astype(_U32), _U32(0))
 
-    exp32, lo32, hi32, hist = pf.split_words_pallas_f32(wz)
+    exp32, lo32, hi32, hist, fused_cks = pf.split_words_pallas_f32(wz)
     exp32 = exp32[: Lw // 4].astype(_U32)
     total = pf.split_total_words_f32(Lw)
     hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
@@ -397,11 +395,8 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
         return_u32=True,
     )
 
-    checksum = _U32(0)
-    if use_checksum:
-        from ..ans.checksum import checksum_u32
-
-        checksum = checksum_u32(wz, length * 4)
+    # checksum fused into the split kernel (zero tail words are XOR-inert)
+    checksum = fused_cks if use_checksum else _U32(0)
 
     header = jnp.array([(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, 0, 0, 0], _U32)
     header = header.at[1].set(length.astype(_U32))

@@ -39,6 +39,25 @@ def _srl(x, s):
     return jax.lax.shift_right_logical(x, s)
 
 
+def _fold_cks(acc: jnp.ndarray) -> jnp.ndarray:
+    """Fold the kernel's (8,128) XOR accumulator to the 8-bit checksum."""
+    x = jax.lax.reduce(
+        acc.astype(_U32), _U32(0), jax.lax.bitwise_xor, (0, 1)
+    )
+    x = x ^ (x >> _U32(16))
+    x = x ^ (x >> _U32(8))
+    return x & _U32(0xFF)
+
+
+def _xor_slabs(x, R: int):
+    """XOR-fold (R,128) i32 rows to an (8,128) accumulator (unrolled)."""
+    s = x.reshape(R // 8, 8, 128)
+    acc = s[0]
+    for k in range(1, R // 8):
+        acc = acc ^ s[k]
+    return acc
+
+
 def _split_pair(p, float_type: int):
     """Split a u32 holding two f16/bf16 words -> (c0, c1, m0, m1) bytes."""
     w0 = p & 0xFFFF
@@ -56,8 +75,13 @@ def _join_word(c, m, float_type: int):
     return w
 
 
-def _split_kernel(float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref):
-    """in (R,128) u32-pairs -> exp/nc (R/2,128) packed bytes + histogram."""
+def _split_kernel(
+    float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref, cks_ref
+):
+    """in (R,128) u32-pairs -> exp/nc (R/2,128) packed bytes + histogram
+    + a fused XOR-checksum accumulator (the reference fuses the float
+    checksum the same way, GpuFloatCompress.cuh:461-468 — here it rides
+    the split kernel so `use_checksum=True` costs no extra HBM pass)."""
     lane = jax.lax.broadcasted_iota(_I32, (R // 2, 128), 1)
     i = pl.program_id(0)
 
@@ -99,9 +123,12 @@ def _split_kernel(float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref):
     @pl.when(i == 0)
     def _():
         hist_ref[:] = jnp.zeros((16, 128), _I32)
+        cks_ref[:] = jnp.zeros((8, 128), _I32)
 
     c = jnp.concatenate([c0, c1], axis=0)  # (2R,128) exponent bytes
     hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
+
+    cks_ref[:] = cks_ref[:] ^ _xor_slabs(pairs, R)
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,6 +141,7 @@ def _build_split_call(RP: int, float_type: int):
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((16, 128), _I32),
+            jax.ShapeDtypeStruct((8, 128), _I32),
         ),
         grid=(grid,),
         in_specs=[
@@ -131,6 +159,7 @@ def _build_split_call(RP: int, float_type: int):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
@@ -143,14 +172,16 @@ def split_total_words(Lw: int) -> int:
 
 
 def split_words_pallas(words32: jnp.ndarray, float_type: int):
-    """(Lw/2,) u32 word-pairs -> (exp32, nc32, hist256).
+    """(Lw/2,) u32 word-pairs -> (exp32, nc32, hist256, checksum).
 
     exp32/nc32 are (Lw/4,) u32 (bytes packed little-endian, natural order);
     hist256 is the exact exponent histogram of ALL Lw bytes (callers mask
     padding by ensuring padded words are zero and correcting bin counts, or
     simply by passing the true length to normalize via the zero bin) — here
     padded input words must be zero and the caller subtracts the pad count
-    from the histogram bin of the zero-word exponent byte.
+    from the histogram bin of the zero-word exponent byte. `checksum` is
+    the fused folded 8-bit XOR checksum (u32) of the input bytes — exact
+    for the true length because padding words are zero (XOR identity).
     """
     assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
     n2 = words32.shape[0]
@@ -159,9 +190,9 @@ def split_words_pallas(words32: jnp.ndarray, float_type: int):
     x = jnp.zeros(RP * 128, _I32)
     x = x.at[:n2].set(words32.astype(_I32))
     call = _build_split_call(RP, float_type)
-    exp32, nc32, hist = call(x.reshape(RP, 128))
+    exp32, nc32, hist, cks = call(x.reshape(RP, 128))
     hist256 = fold_hist(hist).astype(_U32)
-    return exp32.reshape(-1), nc32.reshape(-1), hist256
+    return exp32.reshape(-1), nc32.reshape(-1), hist256, _fold_cks(cks)
 
 
 def _join_kernel(float_type: int, R: int, exp_ref, nc_ref, out_ref):
@@ -243,8 +274,12 @@ def join_words_pallas(exp32: jnp.ndarray, nc32: jnp.ndarray, float_type: int):
 # ---------------------------------------------------------------------------
 
 
-def _split_kernel_f32(R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref):
-    """in (R,128) u32 words -> exp (R/4,128), lo (R/2,128), hi (R/4,128)."""
+def _split_kernel_f32(
+    R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref, cks_ref
+):
+    """in (R,128) u32 words -> exp (R/4,128), lo (R/2,128), hi (R/4,128),
+    plus the fused XOR-checksum accumulator (no extra HBM pass when
+    use_checksum=True; GpuFloatCompress.cuh:461-468 analogue)."""
     i = pl.program_id(0)
     w = in_ref[:]
     v = (w << 1) | _srl(w, 31)  # rotl32(w, 1)
@@ -289,8 +324,11 @@ def _split_kernel_f32(R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref):
     @pl.when(i == 0)
     def _():
         hist_ref[:] = jnp.zeros((16, 128), _I32)
+        cks_ref[:] = jnp.zeros((8, 128), _I32)
 
     hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
+
+    cks_ref[:] = cks_ref[:] ^ _xor_slabs(w, R)
 
 
 @functools.lru_cache(maxsize=None)
@@ -305,6 +343,7 @@ def _build_split_call_f32(RP: int):
             jax.ShapeDtypeStruct((RP // 2, 128), _I32),
             jax.ShapeDtypeStruct((RP // 4, 128), _I32),
             jax.ShapeDtypeStruct((16, 128), _I32),
+            jax.ShapeDtypeStruct((8, 128), _I32),
         ),
         grid=(grid,),
         in_specs=[
@@ -315,6 +354,7 @@ def _build_split_call_f32(RP: int):
             pl.BlockSpec((T // 2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T // 4, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
@@ -325,17 +365,21 @@ def split_total_words_f32(Lw: int) -> int:
 
 
 def split_words_pallas_f32(words: jnp.ndarray):
-    """(Lw,) u32 f32 words -> (exp32, lo32, hi32, hist256)."""
+    """(Lw,) u32 f32 words -> (exp32, lo32, hi32, hist256, checksum).
+
+    `checksum` is the fused folded 8-bit XOR checksum (u32) of the input
+    bytes — exact for the true length because padding words are zero."""
     Lw = words.shape[0]
     RP = C.round_up(max(C.div_up(Lw, 128), SPLIT_TILE), SPLIT_TILE)
     x = jnp.zeros(RP * 128, _I32).at[:Lw].set(words.astype(_I32))
     call = _build_split_call_f32(RP)
-    exp32, lo32, hi32, hist = call(x.reshape(RP, 128))
+    exp32, lo32, hi32, hist, cks = call(x.reshape(RP, 128))
     return (
         exp32.reshape(-1),
         lo32.reshape(-1),
         hi32.reshape(-1),
         fold_hist(hist).astype(_U32),
+        _fold_cks(cks),
     )
 
 

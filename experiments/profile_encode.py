@@ -44,7 +44,7 @@ NBp = C.round_up(NB, T)
 
 
 def split_fn(w):
-    exp32, nc32, hist = pf.split_words_pallas(w, ft)
+    exp32, nc32, hist, _cks = pf.split_words_pallas(w, ft)
     return exp32[: Lw // 4], nc32[: Lw // 4], hist
 
 

@@ -660,3 +660,52 @@ def test_api_onegrid_uniform_batch_interpret(interpret_pallas, rng, monkeypatch)
     outs2 = api.decompress_data_simple(False, arcs2)
     for i in range(B):
         assert np.array_equal(np.asarray(outs2[i]), np.asarray(bs[i])), i
+
+
+def test_pallas_float_fused_checksum_interpret(interpret_pallas, rng):
+    """The split-kernel-fused XOR checksum must be bit-identical to the
+    oracle's (archives byte-equal under use_checksum=True for all three
+    float types), and the decode-side verify must accept it."""
+    from dietgpu_tpu.ans import layout as ans_layout
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+    from dietgpu_tpu.ref import float_ref
+
+    for ft, n in (
+        (C.FLOAT_TYPE_BFLOAT16, 5000),
+        (C.FLOAT_TYPE_FLOAT16, 4097),
+        (C.FLOAT_TYPE_FLOAT32, 4099),
+    ):
+        Lw = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+        if ft == C.FLOAT_TYPE_FLOAT32:
+            words = rng.standard_normal(n).astype(np.float32).view(np.uint32)
+            padded = np.zeros(Lw, np.uint32)
+            padded[:n] = words
+            inp = jnp.asarray(padded)
+        else:
+            words = (
+                rng.standard_normal(n).astype(np.float32).view(np.uint32)
+                >> 16
+            ).astype(np.uint16)
+            padded = np.zeros(Lw, np.uint16)
+            padded[:n] = words
+            inp = jnp.asarray(
+                padded.view(np.uint32) if Lw % 2 == 0 else padded
+            )
+        buf32, size = pfc.float_compress_padded_pallas(
+            inp, n, ft, 10, use_checksum=True
+        )
+        size_h = int(np.asarray(size))
+        got = np.asarray(
+            ans_layout.u32_to_u8le(buf32.astype(jnp.uint32))
+        )[:size_h]
+        oracle = float_ref.float_compress(
+            words, ft, prob_bits=10, use_checksum=True
+        )
+        assert oracle.size == size_h, ft
+        assert np.array_equal(got, oracle), ft
+
+        r = pfc.float_decompress_padded_pallas(
+            buf32, ft, Lw, 10, verify_checksum=True
+        )
+        assert bool(np.asarray(r["success"]))
+        assert bool(np.asarray(r["checksum_ok"]))
