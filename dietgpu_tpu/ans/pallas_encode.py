@@ -135,6 +135,9 @@ def _encode_kernel(
 
     meta = meta_ref[:]
     uncomp = _taa(meta, gbase)  # block symbol count (drives the act mask)
+    # loop-invariant hoists: activity threshold + lane-group select masks
+    negu = lane31 - uncomp
+    gmask = [gid == g for g in range(1, BPR)]
 
     if per_row_tables:
         pcs = [pcs_ref[:, r, :] for r in range(2)]
@@ -206,15 +209,16 @@ def _encode_kernel(
 
     def one_step(kk, loads, l, carry):
         state, win_lo, win_hi, fill, base = carry
-        # single subtract+compare covers full steps, the partial tail
-        # step, and dead blocks at once (kk = step index, 32 symbols/step)
-        act = lane31 < (uncomp - (kk << 5))
+        # single hoisted-subtract compare covers full steps, the partial
+        # tail step, and dead blocks at once (kk = step index, 32
+        # symbols/step)
+        act = negu < -(kk << 5)
 
         if "data" not in _ABLATE:
             idx = lidx + 8 * l
             d = _taa(loads[0], idx)
             for g in range(1, BPR):
-                d = jnp.where(gid == g, _taa(loads[g], idx), d)
+                d = jnp.where(gmask[g - 1], _taa(loads[g], idx), d)
             sym = _srl(d, qsh) & 0xFF
         else:
             sym = lane31 + kk
