@@ -50,6 +50,18 @@ _ABLATE = frozenset(
     filter(None, _os.environ.get("DIETGPU_ENCODE_ABLATE", "").split(","))
 )
 
+
+def _flush_group() -> int:
+    """Steps between window flushes (hardware A/B knob).
+
+    G=1 reproduces the flush-every-step structure; larger G amortizes the
+    flush machinery's fixed scalar-core cost (page-range reductions + a
+    dynamically-bounded fori launch per flush) over G steps at the price
+    of G-1 extra 32-slot window registers and their per-step append
+    selects. Must divide CHUNK (16)."""
+    return int(_os.environ.get("DIETGPU_ENCODE_FLUSH_GROUP", "4"))
+
+
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
@@ -103,6 +115,7 @@ def _encode_kernel(
     prob_bits: int,
     T: int,
     per_row_tables: bool,
+    G: int,  # steps between window flushes (window = G+1 registers)
     meta_ref,  # VMEM (T,128): lane 32g+0 = symbol count of block 4*row+g
     data_ref,  # VMEM (T,32,128): [r, 8g+c, :] = block 4r+g input chunk c
     pcs_ref,
@@ -114,10 +127,14 @@ def _encode_kernel(
 ):
     """Dense layout: 4 blocks per sublane row, 32 interleaved rANS lanes per
     group — every ALU phase runs all 128 VPU lanes (GpuANSEncode.cuh:49-90
-    warp analogue x4). Each group keeps a 32-slot append window; the
-    ballot/popc stream compaction is one block-diagonal MXU prefix matmul
-    and a single cross-group binary search; full windows flush as aligned
-    page QUARTERS straight into the staging pages.
+    warp analogue x4). Each group keeps a (G+1)-register (32 slots each)
+    append window; the ballot/popc stream compaction is one block-diagonal
+    MXU prefix matmul and a single cross-group binary search (rank mod 32
+    is register-invariant, so one search serves every register); full
+    32-slot quarters drain into the staging pages once per G steps — the
+    flush machinery's fixed cost (composite packing, page-range
+    reductions, a dynamically-bounded fori launch) was ~40% of the kernel
+    when it ran every step.
 
     With per_row_tables, the (pdf|cdf|shift) and magic tables are
     per-sublane-row inputs instead of grid-wide broadcasts — each row
@@ -151,64 +168,91 @@ def _encode_kernel(
             for r in range(2)
         ]
     pre = pre_ref[0]
+    NWIN = G + 1
+    slots = [lane31 + 32 * r for r in range(NWIN)]
+    quarter = _srl(lane, 5)
 
     # zero-init the staging pages (flushes do read-modify-write ORs)
     for p in range(4 * PAGES):
         words_ref[:, p, :] = zeros
 
-    def flush_quarters(win, fill2, base, partial):
-        """Store each group's full (or final partial) 32-slot window as an
-        aligned quarter of its block's current page. One branchless union
-        page loop serves all four groups (separate pl.when'd loops per group
-        drown the scalar core in control overhead).
+    def flush_windows(wins, fill2, base, partial):
+        """Drain each group's full 32-slot quarters into the staging pages,
+        once per G steps. Register r holds stream words base+32r.. of its
+        group; fill2>>5 of them are full. One branchless union page loop
+        serves all four groups AND all registers (separate pl.when'd loops
+        per group drown the scalar core in control overhead); quarters are
+        OR-merged into the zero-initialized pages, so a quarter drained
+        across two flushes (full part now, tail at the final partial
+        flush) lands correctly.
 
-        The per-group (value, page, quarter, ready) tuple travels as ONE
-        packed composite word — one lane gather per group instead of three:
+        Each (group, register) (value, page, quarter, ready) tuple travels
+        as ONE packed composite word — one lane gather instead of three:
         bits 0..15 window value, 16..20 page+1 (0 = not ready), 21..22
         quarter. fill/base are group-uniform, so each lane packs its own
-        group's fields natively before the broadcast-gather."""
-        if "flush" in _ABLATE:
-            return
-        ready = (fill2 > 0) if partial else (fill2 >= 32)
-        pfield = jnp.where(
-            ready, jnp.minimum(_srl(base, 7), PAGES - 1) + 1, 0
-        )
-        comp = (win & 0xFFFF) | (pfield << 16) | ((_srl(base, 5) & 3) << 21)
-        pggs, qvs, flvs, placed = [], [], [], []
-        for g in range(BPR):
-            compg = _taa(comp, lane31 + 32 * g)
-            placed.append(compg & 0xFFFF)
-            pggs.append((_srl(compg, 16) & 31) - 1)
-            qvs.append(_srl(compg, 21))
-            if partial:
-                flvs.append(_taa(fill2, zeros + 32 * g))
-        quarter = _srl(lane, 5)
-        pmax = jnp.maximum(
-            jnp.maximum(pggs[0], pggs[1]), jnp.maximum(pggs[2], pggs[3])
-        )
-        pmin_c = [jnp.where(p >= 0, p, PAGES) for p in pggs]
-        pmin = jnp.minimum(
-            jnp.minimum(pmin_c[0], pmin_c[1]),
-            jnp.minimum(pmin_c[2], pmin_c[3]),
-        )
-        mx = jnp.max(pmax)
-        lop = jnp.maximum(jnp.min(pmin), 0)
+        group's fields natively before the broadcast-gather.
 
-        def body(p, _):
-            for g in range(BPR):
-                sel = (pggs[g] == p) & (quarter == qvs[g])
-                if partial:
-                    sel = sel & (lane31 < flvs[g])
-                slab = words_ref[:, g * PAGES + p, :]
-                words_ref[:, g * PAGES + p, :] = jnp.where(
-                    sel, slab | placed[g], slab
+        Returns (shifted window registers, new fill, new base)."""
+        k = _srl(fill2, 5)  # full quarters to drain (group-uniform)
+        if "flush" not in _ABLATE:
+            # the final partial flush also drains the trailing partial
+            # register (lane-masked); in-loop flushes drain full ones only
+            R = NWIN if partial else G
+            comps, pfs = [], []
+            for r in range(R):
+                base_r = base + 32 * r
+                ready = (fill2 > 32 * r) if partial else (fill2 >= 32 * (r + 1))
+                pf = jnp.where(
+                    ready, jnp.minimum(_srl(base_r, 7), PAGES - 1) + 1, 0
                 )
-            return 0
+                comps.append(
+                    (wins[r] & 0xFFFF)
+                    | (pf << 16)
+                    | ((_srl(base_r, 5) & 3) << 21)
+                )
+                pfs.append(pf)
+            pmax = pfs[0]
+            for pf in pfs[1:]:
+                pmax = jnp.maximum(pmax, pf)
+            # register pages are monotone in r, so register 0 (ready
+            # whenever any is) bounds the range from below
+            mx = jnp.max(pmax) - 1
+            lop = jnp.min(jnp.where(pfs[0] > 0, pfs[0] - 1, PAGES))
+            compg = [
+                [_taa(comps[r], lane31 + 32 * g) for r in range(R)]
+                for g in range(BPR)
+            ]
+            if partial:
+                flvs = [_taa(fill2, zeros + 32 * g) for g in range(BPR)]
 
-        jax.lax.fori_loop(lop, mx + 1, body, 0)
+            def body(p, _):
+                for g in range(BPR):
+                    contrib = None
+                    for r in range(R):
+                        cg = compg[g][r]
+                        sel = ((_srl(cg, 16) & 31) - 1 == p) & (
+                            quarter == _srl(cg, 21)
+                        )
+                        if partial:
+                            sel = sel & (lane31 < flvs[g] - 32 * r)
+                        c = jnp.where(sel, cg & 0xFFFF, 0)
+                        contrib = c if contrib is None else contrib | c
+                    slab = words_ref[:, g * PAGES + p, :]
+                    words_ref[:, g * PAGES + p, :] = slab | contrib
+                return 0
 
-    def one_step(kk, loads, l, carry):
-        state, win_lo, win_hi, fill, base = carry
+            jax.lax.fori_loop(lop, mx + 1, body, 0)
+
+        # after draining k full quarters the live tail sits in register k
+        w0 = wins[0]
+        for r in range(1, NWIN):
+            w0 = jnp.where(k == r, wins[r], w0)
+        return (w0,) + (zeros,) * G, fill2 - (k << 5), base + (k << 5)
+
+    def one_step(kk, loads, l, sd, carry):
+        state, *rest = carry
+        wins = list(rest[:NWIN])
+        fill, base = rest[NWIN], rest[NWIN + 1]
         # single hoisted-subtract compare covers full steps, the partial
         # tail step, and dead blocks at once (kk = step index, 32
         # symbols/step)
@@ -259,8 +303,10 @@ def _encode_kernel(
         r = rc & 63
         cnt = _srl(rc, 6)
 
-        # append into the group's 32-slot window; one binary search serves
-        # all four groups (rank gathers are group-offset)
+        # append into the group's window; one binary search serves all
+        # four groups (rank gathers are group-offset) and every window
+        # register (the needed rank mod 32 is (lane31 - fill) & 31 for
+        # each of them)
         jj = (lane31 - fill) & 31
         if "search" not in _ABLATE:
             wsel = zeros
@@ -271,40 +317,43 @@ def _encode_kernel(
             val = _taa(outv, gbase | (wsel & 31))
         else:
             val = outv
-        hit = jj < cnt
-        win_lo = jnp.where(hit & (lane31 >= fill), val, win_lo)
-        win_hi = jnp.where(hit & (lane31 < fill), val, win_hi)
-        fill2 = fill + cnt
-
-        # full windows -> page quarters (page clamped on block overflow,
-        # which is flagged in the returned size; GpuANSEncode.cuh:355-360)
-        flush_quarters(win_lo, fill2, base, partial=False)
-        flushing = fill2 >= 32
-        win_lo = jnp.where(flushing, win_hi, win_lo)
-        win_hi = jnp.where(flushing, 0, win_hi)
-        base = base + jnp.where(flushing, 32, 0)
-        fill = fill2 - jnp.where(flushing, 32, 0)
-        return state2, win_lo, win_hi, fill, base
+        fillc = fill + cnt
+        # step sd (since the last flush) can only reach registers
+        # 0..sd+1: fill < 32 + 32*sd and at most 32 more words land now
+        for reg in range(min(sd + 2, NWIN)):
+            hit = (slots[reg] >= fill) & (slots[reg] < fillc)
+            wins[reg] = jnp.where(hit, val, wins[reg])
+        return (state2, *wins, fillc, base)
 
     def chunk_body(c, carry):
         loads = [data_ref[:, 8 * g + c, :] for g in range(BPR)]
-        for l in range(CHUNK):
-            carry = one_step(c * CHUNK + l, loads, l, carry)
+        for m in range(CHUNK // G):
+            for d in range(G):
+                l = m * G + d
+                carry = one_step(c * CHUNK + l, loads, l, d, carry)
+            # full window quarters -> staging pages (pages clamped on
+            # block overflow, which is flagged in the returned size;
+            # GpuANSEncode.cuh:355-360)
+            wins, fill, base = flush_windows(
+                carry[1 : 1 + NWIN], carry[1 + NWIN], carry[2 + NWIN],
+                partial=False,
+            )
+            carry = (carry[0], *wins, fill, base)
         return carry
 
     init = (
         jnp.full((T, 128), C.ANS_START_STATE, _I32),
-        zeros,
-        zeros,
+        *((zeros,) * NWIN),
         zeros,
         zeros,
     )
-    state, win_lo, win_hi, fill, base = jax.lax.fori_loop(
-        0, S // CHUNK, chunk_body, init
-    )
+    final = jax.lax.fori_loop(0, S // CHUNK, chunk_body, init)
+    state = final[0]
 
-    # final partial-window flush
-    flush_quarters(win_lo, fill, base, partial=True)
+    # final partial-window flush (full quarters + the lane-masked tail)
+    _, fill, base = flush_windows(
+        final[1 : 1 + NWIN], final[1 + NWIN], final[2 + NWIN], partial=True
+    )
 
     counts_ref[:] = base + fill
     states_ref[:] = state
@@ -312,9 +361,12 @@ def _encode_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build_encode_call(NBp: int, prob_bits: int, T: int,
-                       per_row_tables: bool = False):
+                       per_row_tables: bool = False, G: int = 4):
+    assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
-    kernel = functools.partial(_encode_kernel, prob_bits, T, per_row_tables)
+    kernel = functools.partial(
+        _encode_kernel, prob_bits, T, per_row_tables, G
+    )
     NR = NBp // BPR
     if per_row_tables:
         table_specs = [
@@ -461,7 +513,7 @@ def build_encode_tables(pdf: jnp.ndarray):
 
 def _encode_stage1(
     data32, length, pdf, L: int, NBp: int, T: int, prob_bits: int,
-    use_checksum: bool,
+    use_checksum: bool, precomputed_checksum=None,
 ):
     """Traced stage 1: tables + the encode kernel. Returns per-block results."""
     NB = L // C.DEFAULT_BLOCK_SIZE
@@ -484,12 +536,16 @@ def _encode_stage1(
     # dense input layout: [r, 8g+c, :] = block 4r+g chunk c (pure reshape)
     d32 = d32.reshape(NR, BPR * (S // CHUNK), 128)
 
-    call = _build_encode_call(NBp, prob_bits, T // BPR)
+    call = _build_encode_call(NBp, prob_bits, T // BPR, G=_flush_group())
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
     checksum = _U32(0)
     if use_checksum:
-        checksum = checksum_u32(data32, length)
+        checksum = (
+            precomputed_checksum
+            if precomputed_checksum is not None
+            else checksum_u32(data32, length)
+        )
     return staged, counts, states_out, uncomp, checksum
 
 
@@ -623,16 +679,23 @@ def ans_encode_padded_pallas(
     NB = L // C.DEFAULT_BLOCK_SIZE
     assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
 
+    fused_checksum = None
     if precomputed_pdf is not None:
         pdf = jnp.asarray(precomputed_pdf).astype(_U32)
     else:
         hist = precomputed_histogram
         if hist is None:
             # MXU histogram kernel (GpuANSStatistics.cuh:21-143 analogue);
-            # XLA scatter-add runs ~0.1 GB/s on TPU
+            # XLA scatter-add runs ~0.1 GB/s on TPU. With use_checksum the
+            # XOR checksum rides the same kernel pass (no extra HBM read).
             from . import pallas_hist
 
-            hist = pallas_hist.histogram_u8_pallas(data32, length)
+            if use_checksum:
+                hist, fused_checksum = pallas_hist.histogram_u8_pallas(
+                    data32, length, with_checksum=True
+                )
+            else:
+                hist = pallas_hist.histogram_u8_pallas(data32, length)
         pdf = stats.normalize_probs(
             hist, jnp.asarray(length, _I32).astype(_U32), prob_bits
         )
@@ -648,7 +711,7 @@ def ans_encode_padded_pallas(
     with annotate("ans.encode_kernel"):
         staged, counts, states_out, uncomp, checksum = _encode_stage1(
             data32, length, pdf, L=L, NBp=NBp, T=T, prob_bits=prob_bits,
-            use_checksum=use_checksum,
+            use_checksum=use_checksum, precomputed_checksum=fused_checksum,
         )
     arc32, size = _encode_finish(
         staged, counts, states_out, uncomp, checksum, pdf, length,
@@ -786,7 +849,8 @@ def ans_encode_batched_pallas(
     pre = jnp.asarray(_prefix_matrix(), jnp.bfloat16)
     with annotate("ans.encode_kernel_batched"):
         call = _build_encode_call(
-            rows * BPR, prob_bits, tile, per_row_tables=True
+            rows * BPR, prob_bits, tile, per_row_tables=True,
+            G=_flush_group(),
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre

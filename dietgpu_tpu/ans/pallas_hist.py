@@ -83,18 +83,30 @@ def fold_hist(counts16: jnp.ndarray) -> jnp.ndarray:
     return folded.reshape(256)
 
 
-def _hist_kernel(R: int, len_ref, in_ref, out_ref):
+def _hist_kernel(R: int, with_checksum: bool, len_ref, in_ref, *out_refs):
     """in (R,128) u32 (4 packed bytes each) -> accumulated (16,128) i32.
 
     Bytes at index >= len_ref[0] are masked to symbol 0 in-kernel (the host
     epilogue subtracts the pad count from bin 0), so callers need not zero
     their padding.
+
+    With with_checksum, a second (8,128) i32 output accumulates the XOR of
+    the length-masked words — the raw-ANS analogue of the float split
+    kernels' fused checksum (GpuChecksum.cuh:27-93 fused like
+    GpuFloatCompress.cuh:461-468), so `use_checksum=True` costs no extra
+    HBM pass over the input.
     """
+    if with_checksum:
+        out_ref, cks_ref = out_refs
+    else:
+        (out_ref,) = out_refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros((16, 128), _I32)
+        if with_checksum:
+            cks_ref[:] = jnp.zeros((8, 128), _I32)
 
     x = in_ref[:]
     length = len_ref[0]
@@ -109,11 +121,31 @@ def _hist_kernel(R: int, len_ref, in_ref, out_ref):
         acc = acc + hist_chunk_counts(plane)
     out_ref[:] = out_ref[:] + acc.astype(_I32)
 
+    if with_checksum:
+        # length-mask whole words: keep rem=clip(length-pos4,0,4) low bytes
+        rem = length - pos4
+        msk = (1 << (jnp.clip(rem, 0, 3) << 3)) - 1
+        w = jnp.where(rem >= 4, x, x & msk)
+        s = w.reshape(R // 8, 8, 128)
+        cacc = s[0]
+        for k in range(1, R // 8):
+            cacc = cacc ^ s[k]
+        cks_ref[:] = cks_ref[:] ^ cacc
+
 
 @functools.lru_cache(maxsize=None)
-def _build_hist_call(RP: int):
+def _build_hist_call(RP: int, with_checksum: bool = False):
     grid = RP // HIST_TILE
-    kernel = functools.partial(_hist_kernel, HIST_TILE)
+    kernel = functools.partial(_hist_kernel, HIST_TILE, with_checksum)
+    out_shape = [jax.ShapeDtypeStruct((16, 128), _I32)]
+    out_specs = [
+        pl.BlockSpec((16, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_checksum:
+        out_shape.append(jax.ShapeDtypeStruct((8, 128), _I32))
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -122,30 +154,38 @@ def _build_hist_call(RP: int):
                 (HIST_TILE, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=pl.BlockSpec(
-            (16, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=tuple(out_specs),
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((16, 128), _I32),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
     )
 
 
-def histogram_u8_pallas(data32: jnp.ndarray, length) -> jnp.ndarray:
+def histogram_u8_pallas(data32: jnp.ndarray, length, with_checksum=False):
     """Exact 256-bin histogram of the first `length` bytes of a packed
     little-endian u32 byte stream (tail bytes may hold anything; they are
     counted as zeros in-kernel and removed from bin 0 here).
 
-    Returns (256,) u32 counts.
+    Returns (256,) u32 counts, or (counts, checksum u32) with
+    with_checksum (the folded 8-bit XOR checksum of the same bytes,
+    accumulated in the same kernel pass).
     """
     n4 = data32.shape[0]
     RP = C.round_up(max(C.div_up(n4, 128), HIST_TILE), HIST_TILE)
     x = jnp.zeros(RP * 128, _I32).at[:n4].set(data32.astype(_I32))
-    call = _build_hist_call(RP)
+    call = _build_hist_call(RP, with_checksum)
     lvec = jnp.asarray(length, _I32).reshape(1)
-    counts16 = call(lvec, x.reshape(RP, 128))
-    hist = fold_hist(counts16).astype(_U32)
+    out = call(lvec, x.reshape(RP, 128))
+    hist = fold_hist(out[0]).astype(_U32)
     pad = _U32(RP * 512) - jnp.asarray(length, _I32).astype(_U32)
-    return hist.at[0].add(-pad)
+    hist = hist.at[0].add(-pad)
+    if with_checksum:
+        from .checksum import _fold8
+
+        acc = jax.lax.reduce(
+            out[1].astype(_U32), _U32(0), jax.lax.bitwise_xor, (0, 1)
+        )
+        return hist, _fold8(acc)
+    return hist

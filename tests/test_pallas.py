@@ -709,3 +709,60 @@ def test_pallas_float_fused_checksum_interpret(interpret_pallas, rng):
         )
         assert bool(np.asarray(r["success"]))
         assert bool(np.asarray(r["checksum_ok"]))
+
+
+def test_pallas_ans_fused_checksum_interpret(interpret_pallas, rng):
+    """use_checksum=True on the raw-ANS Pallas path rides the histogram
+    kernel (fused XOR accumulator) — archives must stay bit-equal to the
+    checksummed oracle, and the fused (hist, checksum) pair must match
+    numpy exactly."""
+    from dietgpu_tpu.ans import layout as ans_layout
+    from dietgpu_tpu.ans import pallas_encode as pe
+    from dietgpu_tpu.ans import pallas_hist as ph
+    from dietgpu_tpu.ref import ans_ref
+
+    n = 3 * C.DEFAULT_BLOCK_SIZE + 123
+    data = _expo_bytes(rng, n)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+
+    d32 = ans_layout.u8_to_u32le(jnp.asarray(padded)).astype(jnp.int32)
+    h, c = ph.histogram_u8_pallas(d32, n, with_checksum=True)
+    assert np.array_equal(np.asarray(h), np.bincount(data, minlength=256))
+    assert int(np.asarray(c)) == int(np.bitwise_xor.reduce(data))
+
+    ref_arc = np.asarray(
+        ans_ref.ans_encode(data, prob_bits=10, use_checksum=True)
+    )
+    arc, size = pe.ans_encode_padded_pallas(
+        jnp.asarray(padded), n, prob_bits=10, use_checksum=True
+    )
+    size_h = int(np.asarray(size)) & 0x7FFFFFFF
+    assert size_h == ref_arc.size
+    assert np.array_equal(np.asarray(arc)[:size_h], ref_arc)
+
+
+@pytest.mark.parametrize("G", [1, 2])
+def test_pallas_encode_flush_group_interpret(interpret_pallas, rng, G,
+                                             monkeypatch):
+    """The flush-group knob (DIETGPU_ENCODE_FLUSH_GROUP) changes only the
+    kernel's flush cadence — archives are bit-identical to the oracle for
+    every G (G=4 is the default exercised by the rest of the suite)."""
+    from dietgpu_tpu.ans import pallas_encode as pe
+    from dietgpu_tpu.ref import ans_ref
+
+    monkeypatch.setenv("DIETGPU_ENCODE_FLUSH_GROUP", str(G))
+    pe._build_encode_call.cache_clear()
+    n = 5 * C.DEFAULT_BLOCK_SIZE + 7
+    data = _expo_bytes(rng, n)
+    data[: n // 3] = rng.integers(0, 256, n // 3, dtype=np.uint8)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    ref_arc = np.asarray(ans_ref.ans_encode(data, prob_bits=10))
+    arc, size = pe.ans_encode_padded_pallas(jnp.asarray(padded), n)
+    size_h = int(np.asarray(size)) & 0x7FFFFFFF
+    assert size_h == ref_arc.size
+    assert np.array_equal(np.asarray(arc)[:size_h], ref_arc)
+    pe._build_encode_call.cache_clear()
