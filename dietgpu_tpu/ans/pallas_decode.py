@@ -124,6 +124,7 @@ def _decode_kernel(
     fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
     per_row_tables: bool,
     rt_rows: int,  # tile DMA window rows (>= contiguous payload span)
+    nc_inline: bool,  # nonComp rows alias the archive (no XLA plane copy)
     *refs,
 ):
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
@@ -196,16 +197,23 @@ def _decode_kernel(
             plo_ref,
             phi_ref,
             suf_ref,
-            nc_ref,  # VMEM (T, 32, 128): nonComp rows of blocks 4r..4r+3
-            arc_ref,
-            out_ref,  # VMEM (T, 64, 128): float word-pair rows
-            tilebuf,
-            st0,
-            st1,
-            st2,
-            st3,
-            dma_sem,
+            # nc_inline: (T,32,128) + (1,32,128) pipelined ALIASES of the
+            # archive rows (bitcast reshape, zero XLA copy) — the nonComp
+            # plane starts at u32 word 4 (after the 16-byte float header,
+            # GpuFloatUtils.cuh:20-74), so the join reads at lane+4 with a
+            # row-straddle select; the second input is the one row past the
+            # tile for the straddle of its last subrow.
+            # else: (T,32,128) nonComp rows of blocks 4r..4r+3, pre-sliced
+            # by an XLA pass.
+            nc_ref,
+            *rest,
         ) = refs
+        if nc_inline:
+            (ncnxt_ref, arc_ref, out_ref, tilebuf, st0, st1, st2, st3,
+             dma_sem) = rest
+        else:
+            ncnxt_ref = None
+            (arc_ref, out_ref, tilebuf, st0, st1, st2, st3, dma_sem) = rest
         nc_lo_ref = nc_hi_ref = None
     K = 1 << prob_bits
     SR = max(K // 512, 1)
@@ -284,6 +292,12 @@ def _decode_kernel(
     # select masks (one compare per step instead of re-deriving both)
     negu = lane31 - uncomp
     gmask = [gid == gg for gg in range(1, BPR)]
+    if nc_inline:
+        # straddle row for subrow 31's lane+4 reads: the tile's rows
+        # shifted up by one, closed by the first row past the tile
+        nc_wrap = jnp.concatenate(
+            [nc_ref[1:, 0, :], ncnxt_ref[:, 0, :]], axis=0
+        )
 
     def one_step(kk, state, pos, wins, baseq):
         # lanes past the block's symbol count go inactive; the single
@@ -454,12 +468,32 @@ def _decode_kernel(
             # chunk cc; combine with the chunk's nonComp row and emit the
             # finished float word-pairs (JoinFloatWriter analogue,
             # GpuFloatUtils.cuh:111-159), tail-masked by the word count
-            nc_row = nc_ref[:, 8 * g + cc, :]
+            j = 8 * g + cc
+            nc_row = nc_ref[:, j, :]
+            if nc_inline:
+                # archive-aliased rows: logical nc word w lives at arc
+                # word w+4 — gather at lane+4, straddling into the next
+                # subrow for lanes 124..127 (j+1 wraps into nc_wrap; only
+                # g == 3 can reach subrow 31)
+                if g < BPR - 1:
+                    nc_row1 = nc_ref[:, j + 1, :]
+                else:
+                    nc_row1 = jnp.where(
+                        cc == (S // CHUNK) - 1,
+                        nc_wrap,
+                        nc_ref[:, jnp.minimum(j + 1, 31), :],
+                    )
             wbase = wb_g[g] + cc * 512
             for p in range(2):
                 qidx = 64 * p + _srl(lane, 1)
                 eb = _taa(row, qidx)
-                mb = _taa(nc_row, qidx)
+                if nc_inline:
+                    ii = (qidx + 4) & 127
+                    mb = jnp.where(
+                        qidx < 124, _taa(nc_row, ii), _taa(nc_row1, ii)
+                    )
+                else:
+                    mb = _taa(nc_row, qidx)
                 c0 = _srl(eb, sh0) & 0xFF
                 c1 = _srl(eb, sh1) & 0xFF
                 m0 = _srl(mb, sh0) & 0xFF
@@ -503,6 +537,7 @@ def _build_decode_call(
     fuse_ft=None,
     per_row_tables: bool = False,
     rt_rows: int | None = None,
+    nc_inline: bool = False,
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
@@ -510,7 +545,7 @@ def _build_decode_call(
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
 
     kernel = functools.partial(
-        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_inline
     )
     if per_row_tables:
         table_specs = [
@@ -569,12 +604,31 @@ def _build_decode_call(
         )
         out_shape = jax.ShapeDtypeStruct((NBp // BPR, 128, 128), _I32)
     else:
-        in_specs = small + [
-            pl.BlockSpec(
-                (T, 32, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+        if nc_inline:
+            # both nonComp inputs alias the archive's (rows//32, 32, 128)
+            # bitcast view: tile i's nc region is exactly dim-0 slots
+            # [T*i, T*(i+1)) (32T archive rows = T tile rows x 4 blocks x
+            # 8 rows each), plus one straddle slot for the 16-byte header
+            # offset of the last subrow
+            in_specs = small + [
+                pl.BlockSpec(
+                    (T, 32, 128), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 32, 128), lambda i, *_: (T * (i + 1), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+        else:
+            in_specs = small + [
+                pl.BlockSpec(
+                    (T, 32, 128), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
         out_spec = pl.BlockSpec(
             (T, 64, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         )
@@ -803,6 +857,10 @@ def ans_decode_padded_pallas(
         arc_rows = arc32.astype(_I32).reshape(need_rows, 128)
     else:
         need_rows = int(C.div_up(A32, 128)) + RT + 1
+        if fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16):
+            # inline-nc aliasing needs a 32-row-aligned buffer covering
+            # the straddle slot past the last tile's nonComp region
+            need_rows = C.round_up(max(need_rows, 8 * NBp + 32), 32)
         arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
         arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
     tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
@@ -815,7 +873,17 @@ def ans_decode_padded_pallas(
     plo = jnp.asarray(plo_np, jnp.bfloat16)
     phi = jnp.asarray(phi_np, jnp.bfloat16)
     suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
-    call = _build_decode_call(NBp, prob_bits, T, need_rows, fuse_float)
+    # f16/bf16 fused join: when the buffer is 32-row-aligned with room for
+    # the straddle slot, the nonComp plane rides as bitcast ALIASES of the
+    # archive rows — no XLA plane copy (half the input bytes) at all
+    nc_inline = (
+        fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+        and need_rows % 32 == 0
+        and need_rows >= 8 * NBp + 32
+    )
+    call = _build_decode_call(
+        NBp, prob_bits, T, need_rows, fuse_float, nc_inline=nc_inline
+    )
     result = {
         "size": n.astype(_U32),
         "success": success,
@@ -845,15 +913,24 @@ def ans_decode_padded_pallas(
         ].astype(_U32)
         return result
     if fuse_float is not None:
-        # nonComp plane rows for the fused join: a regular pipelined input
-        nc_flat = jax.lax.dynamic_slice(
-            arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
-        )
-        nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
-        out = call(
-            tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
-            suf, nc3, arc_rows,
-        )
+        if nc_inline:
+            # zero-copy: both nc inputs are a bitcast 3-D view of the rows
+            arc3 = arc_rows.reshape(need_rows // 32, 32, 128)
+            out = call(
+                tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
+                suf, arc3, arc3, arc_rows,
+            )
+        else:
+            # nonComp plane rows for the fused join: a pipelined input
+            # built by an XLA slice (fallback for odd buffer shapes)
+            nc_flat = jax.lax.dynamic_slice(
+                arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
+            )
+            nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
+            out = call(
+                tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
+                suf, nc3, arc_rows,
+            )
         result["out"] = out.reshape(NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
             : out_max // 2
         ].astype(_U32)

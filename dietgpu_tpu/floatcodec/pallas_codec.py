@@ -30,14 +30,15 @@ _U32 = jnp.uint32
 def float_archive_u32_bytes(float_type: int, padded_words: int) -> int:
     """Static u32 archive buffer size (bytes) for the Pallas float codec.
 
-    512-byte-rounded so the decoder's in-place tile DMA can treat the whole
-    buffer as (rows, 128) u32 without a padding copy.
+    16 KiB-rounded (32 x 512-byte rows) so the decoder can treat the whole
+    buffer as (rows, 128) u32 without a padding copy AND bitcast it to
+    (rows/32, 32, 128) for the zero-copy inline-nonComp fused join.
     """
     return C.round_up(
         C.FLOAT_HEADER_BYTES
         + C.float_noncomp_bytes(float_type, padded_words)
         + penc.archive_buffer_bytes_pallas(padded_words),
-        512,
+        16384,
     )
 
 
