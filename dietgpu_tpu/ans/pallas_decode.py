@@ -124,7 +124,14 @@ def _decode_kernel(
     fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
     per_row_tables: bool,
     rt_rows: int,  # tile DMA window rows (>= contiguous payload span)
-    nc_inline: bool,  # nonComp rows alias the archive (no XLA plane copy)
+    # how the fused join obtains its nonComp rows:
+    #   "xla"     — a pipelined (T,32,128) input pre-sliced by an XLA pass
+    #   "alias"   — pipelined bitcast ALIASES of the archive rows (zero
+    #               XLA copy; single-tensor / non-spanning geometry)
+    #   "tilebuf" — copied out of the payload tile DMA window, which in
+    #               spanning-batch mode already covers whole member
+    #               regions (zero XLA copy AND zero extra HBM read)
+    nc_mode: str,
     *refs,
 ):
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
@@ -187,33 +194,61 @@ def _decode_kernel(
         ) = refs
         nc_ref = None
     else:
-        (
-            tile_row0_ref,
-            lrow_ref,
-            meta_ref,
-            states_ref,
-            symtab_ref,
-            pdfcdf_ref,
-            plo_ref,
-            phi_ref,
-            suf_ref,
-            # nc_inline: (T,32,128) + (1,32,128) pipelined ALIASES of the
-            # archive rows (bitcast reshape, zero XLA copy) — the nonComp
-            # plane starts at u32 word 4 (after the 16-byte float header,
-            # GpuFloatUtils.cuh:20-74), so the join reads at lane+4 with a
-            # row-straddle select; the second input is the one row past the
-            # tile for the straddle of its last subrow.
-            # else: (T,32,128) nonComp rows of blocks 4r..4r+3, pre-sliced
-            # by an XLA pass.
-            nc_ref,
-            *rest,
-        ) = refs
-        if nc_inline:
-            (ncnxt_ref, arc_ref, out_ref, tilebuf, st0, st1, st2, st3,
-             dma_sem) = rest
+        # nc inputs by mode (the nonComp plane starts at u32 word 4, after
+        # the 16-byte float header, GpuFloatUtils.cuh:20-74, so the alias
+        # and tilebuf modes fold a +4-lane offset into the join's gathers
+        # with a row-straddle select):
+        #   "xla":     nc_ref (T,32,128) pre-sliced nonComp rows
+        #   "alias":   nc_ref + ncnxt_ref — (T,32,128) and (1,32,128)
+        #              pipelined bitcast aliases of the archive rows; the
+        #              second is the straddle row past the tile
+        #   "tilebuf": no nc input; an extra scalar-prefetch ncrow_ref
+        #              gives each tile row's 33-row window into tilebuf
+        #              (32 nonComp rows of its 4 blocks + 1 straddle row)
+        if nc_mode == "tilebuf":
+            (
+                tile_row0_ref,
+                lrow_ref,
+                ncrow_ref,
+                meta_ref,
+                states_ref,
+                symtab_ref,
+                pdfcdf_ref,
+                plo_ref,
+                phi_ref,
+                suf_ref,
+                arc_ref,
+                out_ref,
+                tilebuf,
+                st0,
+                st1,
+                st2,
+                st3,
+                ncs,
+                dma_sem,
+            ) = refs
+            nc_ref = ncnxt_ref = None
         else:
-            ncnxt_ref = None
-            (arc_ref, out_ref, tilebuf, st0, st1, st2, st3, dma_sem) = rest
+            (
+                tile_row0_ref,
+                lrow_ref,
+                meta_ref,
+                states_ref,
+                symtab_ref,
+                pdfcdf_ref,
+                plo_ref,
+                phi_ref,
+                suf_ref,
+                nc_ref,
+                *rest,
+            ) = refs
+            if nc_mode == "alias":
+                (ncnxt_ref, arc_ref, out_ref, tilebuf, st0, st1, st2, st3,
+                 dma_sem) = rest
+            else:
+                ncnxt_ref = None
+                (arc_ref, out_ref, tilebuf, st0, st1, st2, st3,
+                 dma_sem) = rest
         nc_lo_ref = nc_hi_ref = None
     K = 1 << prob_bits
     SR = max(K // 512, 1)
@@ -249,6 +284,10 @@ def _decode_kernel(
         b0 = i * (BPR * T) + BPR * r
         for g in range(BPR):
             streams[g][r] = tilebuf[pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :]
+        if nc_mode == "tilebuf":
+            # the row's 4 blocks are member-local consecutive, so their
+            # 32 nonComp rows are contiguous in the window; +1 straddle
+            ncs[r] = tilebuf[pl.ds(ncrow_ref[i * T + r], 33), :]
         return 0
 
     if "realign" not in _ABLATE:
@@ -292,7 +331,7 @@ def _decode_kernel(
     # select masks (one compare per step instead of re-deriving both)
     negu = lane31 - uncomp
     gmask = [gid == gg for gg in range(1, BPR)]
-    if nc_inline:
+    if nc_mode == "alias":
         # straddle row for subrow 31's lane+4 reads: the tile's rows
         # shifted up by one, closed by the first row past the tile
         nc_wrap = jnp.concatenate(
@@ -469,8 +508,14 @@ def _decode_kernel(
             # finished float word-pairs (JoinFloatWriter analogue,
             # GpuFloatUtils.cuh:111-159), tail-masked by the word count
             j = 8 * g + cc
-            nc_row = nc_ref[:, j, :]
-            if nc_inline:
+            if nc_mode == "tilebuf":
+                # raw archive rows copied by realign: logical nc word w
+                # lives at window row j lane+4; subrow 32 is the straddle
+                nc_row = ncs[:, j, :]
+                nc_row1 = ncs[:, j + 1, :]
+            else:
+                nc_row = nc_ref[:, j, :]
+            if nc_mode == "alias":
                 # archive-aliased rows: logical nc word w lives at arc
                 # word w+4 — gather at lane+4, straddling into the next
                 # subrow for lanes 124..127 (j+1 wraps into nc_wrap; only
@@ -487,7 +532,7 @@ def _decode_kernel(
             for p in range(2):
                 qidx = 64 * p + _srl(lane, 1)
                 eb = _taa(row, qidx)
-                if nc_inline:
+                if nc_mode in ("alias", "tilebuf"):
                     ii = (qidx + 4) & 127
                     mb = jnp.where(
                         qidx < 124, _taa(nc_row, ii), _taa(nc_row1, ii)
@@ -537,15 +582,18 @@ def _build_decode_call(
     fuse_ft=None,
     per_row_tables: bool = False,
     rt_rows: int | None = None,
-    nc_inline: bool = False,
+    nc_mode: str = "xla",
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
+    assert nc_mode == "xla" or fuse_ft in (
+        C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16
+    ), "inline nonComp modes exist only for the f16/bf16 fused join"
 
     kernel = functools.partial(
-        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_inline
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode
     )
     if per_row_tables:
         table_specs = [
@@ -604,7 +652,7 @@ def _build_decode_call(
         )
         out_shape = jax.ShapeDtypeStruct((NBp // BPR, 128, 128), _I32)
     else:
-        if nc_inline:
+        if nc_mode == "alias":
             # both nonComp inputs alias the archive's (rows//32, 32, 128)
             # bitcast view: tile i's nc region is exactly dim-0 slots
             # [T*i, T*(i+1)) (32T archive rows = T tile rows x 4 blocks x
@@ -621,6 +669,10 @@ def _build_decode_call(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ]
+        elif nc_mode == "tilebuf":
+            # no nc input at all: the join reads nonComp rows out of the
+            # payload DMA window (spanning-batch geometry)
+            in_specs = small + [pl.BlockSpec(memory_space=pl.ANY)]
         else:
             in_specs = small + [
                 pl.BlockSpec(
@@ -634,19 +686,23 @@ def _build_decode_call(
         )
         out_shape = jax.ShapeDtypeStruct((NBp // BPR, 64, 128), _I32)
 
+    scratch = [
+        pltpu.VMEM((RT, 128), _I32),
+        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+    ]
+    if nc_mode == "tilebuf":
+        n_prefetch = 3  # + per-tile-row nonComp window offsets
+        scratch.append(pltpu.VMEM((T, 33, 128), _I32))
+    scratch.append(pltpu.SemaphoreType.DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((RT, 128), _I32),
-            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -876,13 +932,17 @@ def ans_decode_padded_pallas(
     # f16/bf16 fused join: when the buffer is 32-row-aligned with room for
     # the straddle slot, the nonComp plane rides as bitcast ALIASES of the
     # archive rows — no XLA plane copy (half the input bytes) at all
-    nc_inline = (
-        fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
-        and need_rows % 32 == 0
-        and need_rows >= 8 * NBp + 32
+    nc_mode = (
+        "alias"
+        if (
+            fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+            and need_rows % 32 == 0
+            and need_rows >= 8 * NBp + 32
+        )
+        else "xla"
     )
     call = _build_decode_call(
-        NBp, prob_bits, T, need_rows, fuse_float, nc_inline=nc_inline
+        NBp, prob_bits, T, need_rows, fuse_float, nc_mode=nc_mode
     )
     result = {
         "size": n.astype(_U32),
@@ -913,7 +973,7 @@ def ans_decode_padded_pallas(
         ].astype(_U32)
         return result
     if fuse_float is not None:
-        if nc_inline:
+        if nc_mode == "alias":
             # zero-copy: both nc inputs are a bitcast 3-D view of the rows
             arc3 = arc_rows.reshape(need_rows // 32, 32, 128)
             out = call(
@@ -1152,13 +1212,35 @@ def ans_decode_batched_pallas(
     glob_row0 = (row0 + (jnp.arange(B, dtype=_I32) * F4r)[:, None]).reshape(
         B * NBp
     )
-    tile_row0 = glob_row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
+    nc_mode = "xla"
+    if spanning is not None:
+        # start each tile's DMA window at its first member's REGION start:
+        # the (k+1)-member-stride window then also covers the spanned
+        # members' nonComp planes, so the fused f16/bf16 join reads them
+        # straight out of tilebuf — no XLA plane slice, no extra HBM read
+        ntiles = (B * NBp) // (BPR * T)
+        t_first = jnp.arange(ntiles, dtype=_I32) * (BPR * T)
+        tile_row0 = ((t_first // NBp) * F4r) & ~7
+        if fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16):
+            nc_mode = "tilebuf"
+    else:
+        tile_row0 = glob_row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA
     # the end-of-buffer clip (which spanning tiles hit by design) must also
     # land on an 8-row boundary — unaligned DMA starts crash the TPU worker
     tile_row0 = jnp.clip(tile_row0, 0, (need_rows - RT) & ~7)
     lrow = jnp.clip(
         glob_row0 - jnp.repeat(tile_row0, BPR * T), 0, RT - ROWS_PER_BLOCK
     )
+    if nc_mode == "tilebuf":
+        # per tile row: window offset of its 4 blocks' 32 contiguous
+        # nonComp rows (+1 straddle row for the header's +4 lane shift)
+        gr = jnp.arange(B * NR, dtype=_I32)
+        ncrow = (
+            (gr // NR) * F4r
+            + 32 * (gr % NR)
+            - jnp.repeat(tile_row0, T)
+        )
+        ncrow = jnp.clip(ncrow, 0, RT - 33)
 
     meta = meta.reshape(B * NR, 128)
     states128 = states128.reshape(B * NR, 128)
@@ -1177,7 +1259,7 @@ def ans_decode_batched_pallas(
     suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
     call = _build_decode_call(
         B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True,
-        rt_rows=RT,
+        rt_rows=RT, nc_mode=nc_mode,
     )
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float == C.FLOAT_TYPE_FLOAT32:
@@ -1210,15 +1292,23 @@ def ans_decode_batched_pallas(
         )
         return result
     if fuse_float is not None:
-        nc3 = jax.vmap(
-            lambda a: jax.lax.dynamic_slice(
-                a, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
+        if nc_mode == "tilebuf":
+            # zero-copy: the join reads nonComp rows out of the payload
+            # DMA window (covered by the member-region window start)
+            out = call(
+                tile_row0, lrow, ncrow, meta, states128, symtab_rows,
+                pdfcdf_rows, plo, phi, suf, arc_rows,
             )
-        )(archives.astype(_I32)).reshape(B * NR, 32, 128)
-        out = call(
-            tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
-            plo, phi, suf, nc3, arc_rows,
-        )
+        else:
+            nc3 = jax.vmap(
+                lambda a: jax.lax.dynamic_slice(
+                    a, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
+                )
+            )(archives.astype(_I32)).reshape(B * NR, 32, 128)
+            out = call(
+                tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
+                plo, phi, suf, nc3, arc_rows,
+            )
         result["out"] = (
             out.reshape(B, NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
                 :, : out_max // 2
