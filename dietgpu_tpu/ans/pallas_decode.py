@@ -181,17 +181,20 @@ def _decode_kernel(
             plo_ref,
             phi_ref,
             suf_ref,
-            nc_lo_ref,  # VMEM (T, 64, 128): low-u16 plane rows of blocks 4r..
-            nc_hi_ref,  # VMEM (T, 32, 128): high-u8 plane rows of blocks 4r..
-            arc_ref,
-            out_ref,  # VMEM (T, 128, 128): f32 word rows
-            tilebuf,
-            st0,
-            st1,
-            st2,
-            st3,
-            dma_sem,
+            nc_lo_ref,  # VMEM (T, 64, 128): low-u16 plane rows of blocks
+            #             4r.. — with nc_mode "alias" these are bitcast
+            #             ALIASES of the archive rows (lo plane starts at
+            #             u32 word 4, so reads shift +4 lanes with a
+            #             row-straddle select); "xla" pre-slices them
+            *rest_f32,
         ) = refs
+        if nc_mode == "alias":
+            (lonxt_ref, nc_hi_ref, arc_ref, out_ref, tilebuf, st0, st1,
+             st2, st3, dma_sem) = rest_f32
+        else:
+            lonxt_ref = None
+            (nc_hi_ref, arc_ref, out_ref, tilebuf, st0, st1, st2, st3,
+             dma_sem) = rest_f32
         nc_ref = None
     else:
         # nc inputs by mode (the nonComp plane starts at u32 word 4, after
@@ -332,11 +335,16 @@ def _decode_kernel(
     negu = lane31 - uncomp
     gmask = [gid == gg for gg in range(1, BPR)]
     if nc_mode == "alias":
-        # straddle row for subrow 31's lane+4 reads: the tile's rows
+        # straddle row for the last subrow's lane+4 reads: the tile's rows
         # shifted up by one, closed by the first row past the tile
-        nc_wrap = jnp.concatenate(
-            [nc_ref[1:, 0, :], ncnxt_ref[:, 0, :]], axis=0
-        )
+        if fuse_ft == C.FLOAT_TYPE_FLOAT32:
+            nc_wrap = jnp.concatenate(
+                [nc_lo_ref[1:, 0, :], lonxt_ref[:, 0, :]], axis=0
+            )
+        else:
+            nc_wrap = jnp.concatenate(
+                [nc_ref[1:, 0, :], ncnxt_ref[:, 0, :]], axis=0
+            )
 
     def one_step(kk, state, pos, wins, baseq):
         # lanes past the block's symbol count go inactive; the single
@@ -482,10 +490,29 @@ def _decode_kernel(
                 # block (r,g) chunk cc; meet the low-u16 and high-u8 raw
                 # planes and emit finished f32 words (rotr1(exp<<24 |
                 # hi<<16 | lo), GpuFloatUtils.cuh:181-203), tail-masked
-                lo_rows = (
-                    nc_lo_ref[:, 16 * g + 2 * cc, :],
-                    nc_lo_ref[:, 16 * g + 2 * cc + 1, :],
-                )
+                jlo = 16 * g + 2 * cc
+                if nc_mode == "alias":
+                    # archive-aliased lo rows (+4-lane header shift):
+                    # need subrows jlo, jlo+1 and the straddle jlo+2
+                    # (jlo+2 wraps past 63 only for g == 3's last chunk)
+                    if g < BPR - 1:
+                        lo2 = nc_lo_ref[:, jlo + 2, :]
+                    else:
+                        lo2 = jnp.where(
+                            cc == (S // CHUNK) - 1,
+                            nc_wrap,
+                            nc_lo_ref[:, jnp.minimum(jlo + 2, 63), :],
+                        )
+                    lo_rows = (
+                        nc_lo_ref[:, jlo, :],
+                        nc_lo_ref[:, jlo + 1, :],
+                        lo2,
+                    )
+                else:
+                    lo_rows = (
+                        nc_lo_ref[:, jlo, :],
+                        nc_lo_ref[:, jlo + 1, :],
+                    )
                 hi_row = nc_hi_ref[:, 8 * g + cc, :]
                 wbase = wb_g[g] + cc * 512
                 shb = (lane & 3) << 3
@@ -496,7 +523,16 @@ def _decode_kernel(
                     eb = _srl(_taa(row, qidx), shb) & 0xFF
                     hb = _srl(_taa(hi_row, qidx), shb) & 0xFF
                     lidx = 64 * (p & 1) + _srl(lane, 1)
-                    lo16 = _srl(_taa(lo_rows[p >> 1], lidx), shh) & 0xFFFF
+                    if nc_mode == "alias":
+                        ii = (lidx + 4) & 127
+                        lo32 = jnp.where(
+                            lidx < 124,
+                            _taa(lo_rows[p >> 1], ii),
+                            _taa(lo_rows[(p >> 1) + 1], ii),
+                        )
+                    else:
+                        lo32 = _taa(lo_rows[p >> 1], lidx)
+                    lo16 = _srl(lo32, shh) & 0xFFFF
                     v = (eb << 24) | (hb << 16) | lo16
                     word = _srl(v, 1) | (v << 31)
                     widx = wbase + 128 * p + lane
@@ -588,9 +624,12 @@ def _build_decode_call(
     SR = max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
-    assert nc_mode == "xla" or fuse_ft in (
+    assert nc_mode == "xla" or fuse_ft is not None, (
+        "inline nonComp modes exist only for the fused joins"
+    )
+    assert nc_mode != "tilebuf" or fuse_ft in (
         C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16
-    ), "inline nonComp modes exist only for the f16/bf16 fused join"
+    ), "tilebuf nonComp exists only for the f16/bf16 fused join"
 
     kernel = functools.partial(
         _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode
@@ -638,10 +677,22 @@ def _build_decode_call(
             (NBp // BPR, S // CHUNK * BPR, 128), _I32
         )
     elif fuse_ft == C.FLOAT_TYPE_FLOAT32:
-        in_specs = small + [
+        lo_specs = [
             pl.BlockSpec(
                 (T, 64, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+        ]
+        if nc_mode == "alias":
+            # lo plane aliases the archive's (rows//64, 64, 128) bitcast
+            # view (tile i = dim-0 slots [T*i, T*(i+1))), plus one
+            # straddle slot; the dynamic-offset hi plane stays pre-sliced
+            lo_specs.append(
+                pl.BlockSpec(
+                    (1, 64, 128), lambda i, *_: (T * (i + 1), 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        in_specs = small + lo_specs + [
             pl.BlockSpec(
                 (T, 32, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -917,6 +968,9 @@ def ans_decode_padded_pallas(
             # inline-nc aliasing needs a 32-row-aligned buffer covering
             # the straddle slot past the last tile's nonComp region
             need_rows = C.round_up(max(need_rows, 8 * NBp + 32), 32)
+        elif fuse_float == C.FLOAT_TYPE_FLOAT32:
+            # lo-plane aliasing: 64-row slots + straddle slot
+            need_rows = C.round_up(max(need_rows, 16 * NBp + 64), 64)
         arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
         arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
     tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
@@ -932,15 +986,22 @@ def ans_decode_padded_pallas(
     # f16/bf16 fused join: when the buffer is 32-row-aligned with room for
     # the straddle slot, the nonComp plane rides as bitcast ALIASES of the
     # archive rows — no XLA plane copy (half the input bytes) at all
-    nc_mode = (
-        "alias"
-        if (
-            fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
-            and need_rows % 32 == 0
-            and need_rows >= 8 * NBp + 32
-        )
-        else "xla"
-    )
+    if (
+        fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
+        and need_rows % 32 == 0
+        and need_rows >= 8 * NBp + 32
+    ):
+        nc_mode = "alias"
+    elif (
+        fuse_float == C.FLOAT_TYPE_FLOAT32
+        and need_rows % 64 == 0
+        and need_rows >= 16 * NBp + 64
+    ):
+        nc_mode = "alias"
+    else:
+        nc_mode = "xla"
+    if _os.environ.get("DIETGPU_DECODE_NCMODE") == "xla":
+        nc_mode = "xla"  # hardware A/B knob: force the XLA-slice path
     call = _build_decode_call(
         NBp, prob_bits, T, need_rows, fuse_float, nc_mode=nc_mode
     )
@@ -958,16 +1019,24 @@ def ans_decode_padded_pallas(
         # partial tail block's plane data are masked by the word count.
         n_eff = jnp.clip(n, 0, out_max)
         lo_len32 = C.round_up(n_eff, 8) >> 1
-        lo_flat = jax.lax.dynamic_slice(arc_ext, (4,), (NBp * 2048,))
-        lo3 = lo_flat.astype(_I32).reshape(NBp // BPR, 64, 128)
         hi_flat = jax.lax.dynamic_slice(
             arc_ext, (4 + lo_len32,), (NBp * 1024,)
         )
         hi3 = hi_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
-        out = call(
-            tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
-            suf, lo3, hi3, arc_rows,
-        )
+        if nc_mode == "alias":
+            # zero-copy lo plane: bitcast 64-row-slot view of the buffer
+            arc64 = arc_rows.reshape(need_rows // 64, 64, 128)
+            out = call(
+                tile_row0, lrow, meta, states128, symtab, pdfcdf, plo,
+                phi, suf, arc64, arc64, hi3, arc_rows,
+            )
+        else:
+            lo_flat = jax.lax.dynamic_slice(arc_ext, (4,), (NBp * 2048,))
+            lo3 = lo_flat.astype(_I32).reshape(NBp // BPR, 64, 128)
+            out = call(
+                tile_row0, lrow, meta, states128, symtab, pdfcdf, plo,
+                phi, suf, lo3, hi3, arc_rows,
+            )
         result["out"] = out.reshape(NBp * C.DEFAULT_BLOCK_SIZE)[
             :out_max
         ].astype(_U32)
@@ -1221,7 +1290,9 @@ def ans_decode_batched_pallas(
         ntiles = (B * NBp) // (BPR * T)
         t_first = jnp.arange(ntiles, dtype=_I32) * (BPR * T)
         tile_row0 = ((t_first // NBp) * F4r) & ~7
-        if fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16):
+        if fuse_float in (
+            C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16
+        ) and _os.environ.get("DIETGPU_DECODE_NCMODE") != "xla":
             nc_mode = "tilebuf"
     else:
         tile_row0 = glob_row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA

@@ -30,15 +30,16 @@ _U32 = jnp.uint32
 def float_archive_u32_bytes(float_type: int, padded_words: int) -> int:
     """Static u32 archive buffer size (bytes) for the Pallas float codec.
 
-    16 KiB-rounded (32 x 512-byte rows) so the decoder can treat the whole
+    32 KiB-rounded (64 x 512-byte rows) so the decoder can treat the whole
     buffer as (rows, 128) u32 without a padding copy AND bitcast it to
-    (rows/32, 32, 128) for the zero-copy inline-nonComp fused join.
+    (rows/32, 32, 128) / (rows/64, 64, 128) views for the zero-copy
+    inline-nonComp fused joins (f16/bf16 nc rows; f32 lo-plane rows).
     """
     return C.round_up(
         C.FLOAT_HEADER_BYTES
         + C.float_noncomp_bytes(float_type, padded_words)
         + penc.archive_buffer_bytes_pallas(padded_words),
-        16384,
+        32768,
     )
 
 
