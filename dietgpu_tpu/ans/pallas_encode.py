@@ -414,13 +414,16 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int,
 
 def _assembly_kernel(
     T: int,
-    trow_ref,  # SMEM (ntiles,) tile's first payload row, relative to region
+    trow_ref,  # SMEM (ntiles,) tile's first payload row (absolute)
     srow_ref,  # SMEM (ntiles,) local index of the rows shared with next tile
     dloc_ref,  # SMEM (NBp,) block's dst row local to its tile
     drot_ref,  # SMEM (NBp,) block's u32-lane rotation (multiple of 4)
     staged_ref,  # VMEM (T, PAGES, 128) zero-extended words
     seed_ref,  # VMEM (8,128): payload-region head (archive section bytes)
-    pay_ref,  # ANY (PR,128) payload-region rows output
+    arc_in_ref,  # ANY (XR,128): section-prefilled archive, ALIASED to the
+    #              output — payload DMAs land in place, the section and
+    #              tail rows pass through untouched (no XLA stitch pass)
+    arc_ref,  # ANY (XR,128) whole-archive output (aliases arc_in_ref)
     tilebuf,  # scratch (RTE,128)
     spill,  # scratch (8,128) persistent across grid steps
     dma_sem,
@@ -466,14 +469,14 @@ def _assembly_kernel(
     spill[:] = tilebuf[pl.ds(srow_ref[i], 8), :]
 
     dma = pltpu.make_async_copy(
-        tilebuf, pay_ref.at[pl.ds(trow_ref[i], RTE), :], dma_sem
+        tilebuf, arc_ref.at[pl.ds(trow_ref[i], RTE), :], dma_sem
     )
     dma.start()
     dma.wait()  # ordered: next tile's DMA must not race this one
 
 
 @functools.lru_cache(maxsize=None)
-def _build_assembly_call(NBp: int, T: int, PR: int):
+def _build_assembly_call(NBp: int, T: int, XR: int):
     grid = NBp // T
     RTE = T * (PAGES // 2) + 24
     kernel = functools.partial(_assembly_kernel, T)
@@ -486,6 +489,7 @@ def _build_assembly_call(NBp: int, T: int, PR: int):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -496,8 +500,11 @@ def _build_assembly_call(NBp: int, T: int, PR: int):
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((PR, 128), _I32),
+        out_shape=jax.ShapeDtypeStruct((XR, 128), _I32),
         grid_spec=grid_spec,
+        # alias index counts the 4 scalar-prefetch operands: 4+2 = the
+        # section-prefilled archive input -> output 0 (in-place DMAs)
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
@@ -620,21 +627,21 @@ def _encode_stage2(
         arc, bw.reshape(-1), (jnp.asarray(bw_start, _I32),)
     )
 
-    # ---- payload via the assembly kernel ----
+    # ---- payload via the assembly kernel (absolute-row DMA targets:
+    # the kernel writes IN PLACE into the section-prefilled archive) ----
     p32 = ds32 + (prefix[:NBp] >> 1)
-    trow = ((p32[0::T] >> 7) & ~7) - prow0
+    trow = (p32[0::T] >> 7) & ~7
     trow_next = jnp.concatenate(
         [
             trow[1:],
-            jnp.full(1, (((ds32 + total_words // 2) >> 7) & ~7) - prow0, _I32),
+            jnp.full(1, ((ds32 + total_words // 2) >> 7) & ~7, _I32),
         ]
     )
     RTE = T * (PAGES // 2) + 24
-    PR = NBp * (PAGES // 2) + 32
     srow = jnp.clip(trow_next - trow, 0, RTE - 8)
-    dloc = jnp.clip(p32 // 128 - prow0 - jnp.repeat(trow, T), 0, RTE - 16)
+    dloc = jnp.clip(p32 // 128 - jnp.repeat(trow, T), 0, RTE - 16)
     drot = p32 & 127
-    trow = jnp.clip(trow, 0, PR - RTE)
+    trow = jnp.clip(trow, 0, XR - RTE)
     seed = jax.lax.dynamic_slice(
         arc.reshape(XR, 128).astype(_I32), (jnp.asarray(prow0, _I32), 0),
         (8, 128),
@@ -741,22 +748,13 @@ def _encode_finish(
             block_tile=block_tile, static_n=static_n,
         )
     with annotate("ans.assembly"):
-        PR = NBp * (PAGES // 2) + 32
-        asm = _build_assembly_call(NBp, T, PR)
-        pay_rows = asm(trow, srow, dloc, drot, staged, seed)
-    XR = archive_buffer_bytes_pallas(L, block_tile) // 512
-    if isinstance(prow0, int):
-        head = jax.lax.slice(
-            arc.reshape(XR, 128).astype(_I32), (0, 0), (prow0, 128)
-        )
-        tailr = XR - prow0 - PR
-        tail = jax.lax.slice(
-            arc.reshape(XR, 128).astype(_I32), (XR - tailr, 0), (XR, 128)
-        )
-        arc_rows = jnp.concatenate([head, pay_rows, tail], axis=0)
-    else:
-        arc_rows = jax.lax.dynamic_update_slice(
-            arc.reshape(XR, 128).astype(_I32), pay_rows, (prow0, 0)
+        XR = archive_buffer_bytes_pallas(L, block_tile) // 512
+        asm = _build_assembly_call(NBp, T, XR)
+        # the archive input is ALIASED to the output: payload tiles DMA
+        # in place, section and tail rows pass through — no XLA stitch
+        arc_rows = asm(
+            trow, srow, dloc, drot, staged, seed,
+            arc.reshape(XR, 128).astype(_I32),
         )
     return arc_rows.reshape(-1).astype(_U32), size
 

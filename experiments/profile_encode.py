@@ -65,10 +65,13 @@ def stage2_fn(staged, counts, states_out, uncomp, pdf):
         jnp.int32(n), L=L, NBp=NBp, T=T, prob_bits=10, use_checksum=False,
         block_tile=256, static_n=n,
     )
-    PR = NBp * (penc.PAGES // 2) + 32
-    asm = penc._build_assembly_call(NBp, T, PR)
-    pay_rows = asm(trow, srow, dloc, drot, staged, seed)
-    return pay_rows[0, 0], size
+    XR = penc.archive_buffer_bytes_pallas(L, 256) // 512
+    asm = penc._build_assembly_call(NBp, T, XR)
+    arc_rows = asm(
+        trow, srow, dloc, drot, staged, seed,
+        arc.reshape(XR, 128).astype(jnp.int32),
+    )
+    return arc_rows[0, 0], size
 
 
 jf_split = jax.jit(split_fn)
