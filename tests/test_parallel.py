@@ -144,3 +144,39 @@ def test_compressed_all_gather_f32(mesh, rng):
     expect = x.reshape(-1)
     for d in range(N_DEV):
         np.testing.assert_array_equal(got[d].view(np.uint32), expect.view(np.uint32))
+
+
+def test_compressed_reduce_scatter(mesh, rng):
+    """Device d receives the f32-accumulated sum of everyone's chunk d."""
+    from dietgpu_tpu.parallel import compressed_reduce_scatter
+
+    chunk = 4096
+    V = N_DEV * chunk
+    x = rng.standard_normal((N_DEV, V)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out, used = compressed_reduce_scatter(xb, mesh)
+    assert np.all(np.asarray(used))
+    got = np.asarray(out)
+    xbf = np.asarray(xb).astype(np.float32).reshape(N_DEV, N_DEV, chunk)
+    expect = xbf.sum(axis=0)  # f32 accumulation, then cast
+    for d in range(N_DEV):
+        np.testing.assert_array_equal(
+            got[d].astype(np.float32).view(np.uint32),
+            expect[d].astype(jnp.bfloat16).astype(np.float32).view(np.uint32),
+        )
+
+
+def test_compressed_all_reduce(mesh, rng):
+    """Both wire phases compressed; every device ends with the full sum."""
+    from dietgpu_tpu.parallel import compressed_all_reduce
+
+    V = N_DEV * 4096
+    # integer-valued floats: the f32 sum is exact under ANY association,
+    # so the check is independent of reduction order
+    x = rng.integers(-64, 64, size=(N_DEV, V)).astype(np.float32)
+    out, used = compressed_all_reduce(jnp.asarray(x), mesh)
+    assert np.all(np.asarray(used))
+    got = np.asarray(out)
+    expect = x.sum(axis=0)
+    for d in range(N_DEV):
+        np.testing.assert_array_equal(got[d], expect)
