@@ -46,7 +46,7 @@ def main():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from dietgpu_tpu import constants as C
-    from dietgpu_tpu.parallel import initialize_multihost
+    from dietgpu_tpu.parallel import compressed_all_reduce, initialize_multihost
     from dietgpu_tpu.parallel.collectives import _build_ag_phase1, _build_ag_phase2
 
     initialize_multihost()
@@ -104,6 +104,34 @@ def main():
             f"eff {eff*100:6.1f}%  wire {budget}",
             flush=True,
         )
+
+        # compressed all-reduce (both wire phases compressed); V scales
+        # with n so per-device work stays constant (weak scaling)
+        if n > 1 or len(counts) == 1:
+            V = n * C.round_up(shard_words // max(n, 2), C.DEFAULT_BLOCK_SIZE)
+            xa = jnp.asarray(
+                rng.standard_normal((n, V)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            out2, _used = compressed_all_reduce(xa, mesh)
+            jax.tree_util.tree_leaves(out2)[0].block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out2, _used = compressed_all_reduce(xa, mesh)
+            jax.tree_util.tree_leaves(out2)[0].block_until_ready()
+            tar = (time.perf_counter() - t0) / iters
+            rows.append(
+                {
+                    "devices": n,
+                    "time_s": tar,
+                    "op": "compressed_all_reduce(bf16)",
+                    "per_device_GBps": V * 2 / tar / 1e9,
+                }
+            )
+            print(
+                f"n={n:3d}  {tar*1e3:8.2f} ms  all-reduce "
+                f"{V*2/tar/1e9:7.3f} GB/s/dev",
+                flush=True,
+            )
 
     out_path = os.path.join(os.path.dirname(__file__), "weak_scaling.json")
     with open(out_path, "w") as f:
