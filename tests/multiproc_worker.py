@@ -67,4 +67,15 @@ for shard in full.addressable_shards:
     got_row = np.asarray(shard.data)[0]
     assert (got_row == expect).all(), "all-gather mismatch"
 
+# --- compressed all-reduce (both wire phases compressed) --------------------
+from dietgpu_tpu.parallel.collectives import compressed_all_reduce
+
+V = 4 * C.DEFAULT_BLOCK_SIZE
+xa = rng.integers(-64, 64, size=(4, V)).astype(np.float32)  # exact f32 sums
+summed, used2 = compressed_all_reduce(jnp.asarray(xa), mesh)
+expect2 = xa.sum(axis=0)
+for shard in summed.addressable_shards:
+    got_row = np.asarray(shard.data)[0]
+    assert (got_row == expect2).all(), "all-reduce mismatch"
+
 print(f"MULTIPROC PASS {pid}", flush=True)
