@@ -94,6 +94,7 @@ def main():
             {
                 "devices": n,
                 "time_s": t,
+                "op": "compressed_all_gather_auto(bf16) roundtrip",
                 "per_device_GBps": per_dev_gbps,
                 "efficiency": eff,
                 "wire_bytes": budget,
@@ -106,12 +107,15 @@ def main():
         )
 
         # compressed all-reduce (both wire phases compressed); V scales
-        # with n so per-device work stays constant (weak scaling)
+        # with n so per-device work stays constant (weak scaling). The
+        # input is PRE-SHARDED so the timed loop moves only the
+        # collective's wire bytes, not a host-array scatter per iteration.
         if n > 1 or len(counts) == 1:
             V = n * C.round_up(shard_words // max(n, 2), C.DEFAULT_BLOCK_SIZE)
             xa = jnp.asarray(
                 rng.standard_normal((n, V)).astype(np.float32)
             ).astype(jnp.bfloat16)
+            xa = jax.device_put(xa, NamedSharding(mesh, P("dp", None)))
             out2, _used = compressed_all_reduce(xa, mesh)
             jax.tree_util.tree_leaves(out2)[0].block_until_ready()
             t0 = time.perf_counter()
@@ -140,7 +144,8 @@ def main():
                 "platform": jax.devices()[0].platform,
                 "device": str(jax.devices()[0].device_kind),
                 "shard_words": shard_words,
-                "op": "compressed_all_gather_auto(bf16) roundtrip",
+                # every row carries its own "op"; efficiency/wire_bytes
+                # exist only on the all-gather-roundtrip rows
                 "rows": rows,
             },
             f,

@@ -59,7 +59,13 @@ def _flush_group() -> int:
     dynamically-bounded fori launch per flush) over G steps at the price
     of G-1 extra 32-slot window registers and their per-step append
     selects. Must divide CHUNK (16)."""
-    return int(_os.environ.get("DIETGPU_ENCODE_FLUSH_GROUP", "4"))
+    g = int(_os.environ.get("DIETGPU_ENCODE_FLUSH_GROUP", "4"))
+    if not (1 <= g <= CHUNK and CHUNK % g == 0):
+        raise ValueError(
+            f"DIETGPU_ENCODE_FLUSH_GROUP={g} must be a divisor of {CHUNK} "
+            f"in [1, {CHUNK}]"
+        )
+    return g
 
 
 S = C.STEPS_PER_BLOCK  # 128

@@ -307,7 +307,35 @@ def _build_all_to_all(
     wd = _WORD_DTYPE[word]
     Lw = C.round_up(chunk_words, C.DEFAULT_BLOCK_SIZE)
     n_dev = mesh.devices.size
+    exchange = _chunk_exchange(
+        ft, word, Lw, chunk_words, prob_bits, budget, axis, n_dev
+    )
 
+    def local(x):
+        # x: (1, n_dev, chunk_words); chunk d goes to device d
+        chunks = jax.lax.bitcast_convert_type(x[0], wd)  # (n_dev, chunk)
+        out_words, all_fit = exchange(chunks)
+        out = jax.lax.bitcast_convert_type(out_words, dtype)
+        return out[None], all_fit[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None),),
+        out_specs=(P(axis, None, None), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def _chunk_exchange(ft, word, Lw, chunk_words, prob_bits, budget, axis, n_dev):
+    """Shared local body of the all-to-all-shaped collectives.
+
+    Returns exchange(chunks) -> (recv_words, all_fit): compress each
+    (n_dev, chunk_words) raw-word chunk, vote on the byte budget across the
+    mesh, move compressed bytes with lax.all_to_all (or the raw words when
+    any chunk overflows), and decompress on the receiver."""
+    wd = _WORD_DTYPE[word]
     use_pallas = backend_mod.default_backend() == "pallas"
     compress, decompress, unit, F = _codec(
         ft, word, Lw, chunk_words, prob_bits, use_pallas
@@ -315,10 +343,7 @@ def _build_all_to_all(
     bunits = C.round_up(budget, unit) // unit
     pdt = _U32 if unit == 4 else jnp.uint8
 
-    def local(x):
-        # x: (1, n_dev, chunk_words); chunk d goes to device d
-        chunks = jax.lax.bitcast_convert_type(x[0], wd)  # (n_dev, chunk)
-
+    def exchange(chunks):
         def enc_one(c):
             padded = jnp.zeros(Lw, wd).at[:chunk_words].set(c)
             arc, size = compress(padded)
@@ -346,17 +371,9 @@ def _build_all_to_all(
             )
 
         out_words = jax.lax.cond(all_fit, compressed_path, raw_path, None)
-        out = jax.lax.bitcast_convert_type(out_words, dtype)
-        return out[None], all_fit[None]
+        return out_words, all_fit
 
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None, None),),
-        out_specs=(P(axis, None, None), P(axis)),
-        check_vma=False,
-    )
-    return jax.jit(f)
+    return exchange
 
 
 def compressed_all_to_all(
@@ -395,56 +412,20 @@ def _build_reduce_scatter(
     wd = _WORD_DTYPE[word]
     Lw = C.round_up(chunk_words, C.DEFAULT_BLOCK_SIZE)
     n_dev = mesh.devices.size
-
-    use_pallas = backend_mod.default_backend() == "pallas"
-    compress, decompress, unit, F = _codec(
-        ft, word, Lw, chunk_words, prob_bits, use_pallas
+    exchange = _chunk_exchange(
+        ft, word, Lw, chunk_words, prob_bits, budget, axis, n_dev
     )
-    bunits = C.round_up(budget, unit) // unit
-    pdt = _U32 if unit == 4 else jnp.uint8
-
-    def _sum_cast(words_2d):
-        # (n_dev, chunk) raw words -> reduced (chunk,) words. One flat f32
-        # sum (MORE accurate than a ring's per-hop native-dtype adds).
-        vals = jax.lax.bitcast_convert_type(words_2d, dtype)
-        red = jnp.sum(vals.astype(jnp.float32), axis=0).astype(dtype)
-        return jax.lax.bitcast_convert_type(red, wd)
 
     def local(x):
         # x: (1, V) — this device's addend; chunk d belongs to device d
         chunks = jax.lax.bitcast_convert_type(
             x[0].reshape(n_dev, chunk_words), wd
         )
-
-        def enc_one(c):
-            padded = jnp.zeros(Lw, wd).at[:chunk_words].set(c)
-            arc, size = compress(padded)
-            arcp = jnp.concatenate([arc, jnp.zeros(bunits, pdt)])
-            return jax.lax.dynamic_slice(arcp, (0,), (bunits,)), size
-
-        arcs, sizes = jax.vmap(enc_one)(chunks)
-        fits = (sizes <= _U32(budget)).all()
-        all_fit = jax.lax.psum(fits.astype(jnp.int32), axis) == n_dev
-
-        def compressed_path(_):
-            recv = jax.lax.all_to_all(
-                arcs, axis, split_axis=0, concat_axis=0, tiled=False
-            )  # (n_dev, bunits): this device's chunk from every peer
-
-            def dec_one(a):
-                buf = jnp.zeros(max(F // unit, bunits), pdt).at[:bunits].set(a)
-                return decompress(buf)[:chunk_words]
-
-            return _sum_cast(jax.vmap(dec_one)(recv))
-
-        def raw_path(_):
-            recv = jax.lax.all_to_all(
-                chunks, axis, split_axis=0, concat_axis=0, tiled=False
-            )
-            return _sum_cast(recv)
-
-        out_words = jax.lax.cond(all_fit, compressed_path, raw_path, None)
-        out = jax.lax.bitcast_convert_type(out_words, dtype)
+        recv_words, all_fit = exchange(chunks)
+        # one flat f32 sum of the received chunks (MORE accurate than a
+        # ring's per-hop native-dtype adds)
+        vals = jax.lax.bitcast_convert_type(recv_words, dtype)
+        out = jnp.sum(vals.astype(jnp.float32), axis=0).astype(dtype)
         return out[None], all_fit[None]
 
     f = shard_map(
