@@ -61,3 +61,16 @@ def ans_decode_padded(archive, prob_bits, out_max, verify_checksum=False,
     return decode.ans_decode_padded(
         archive, prob_bits, out_max, verify_checksum
     )
+
+
+def histogram_u8(data, length, backend: str | None = None):
+    """Routed exact 256-bin byte histogram (u8 or packed-u32 input)."""
+    backend = backend or default_backend()
+    if backend == "pallas":
+        from .ans import layout, pallas_hist
+
+        d32 = data if data.dtype != "uint8" else layout.u8_to_u32le(data)
+        return pallas_hist.histogram_u8_pallas(d32.astype("int32"), length)
+    from .ans import stats
+
+    return stats.histogram_u8(data, length)

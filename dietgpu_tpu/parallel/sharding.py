@@ -20,9 +20,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import backend as backend_mod
 from .. import constants as C
-from ..ans import decode as ans_decode_mod
-from ..ans import encode as ans_encode_mod
 from ..ans import stats
 
 
@@ -38,6 +37,10 @@ def _sharded_encode(mesh: Mesh, axis: str, L: int, prob_bits: int,
                     shared_stats: bool):
     """Per-device encode of the local shard (one archive per device)."""
 
+    # Pallas kernels on TPU platforms, XLA elsewhere (bit-identical
+    # archives either way — backend.py routes, shard_map composes both)
+    be = backend_mod.default_backend()
+
     def local(data, length):
         # data: (1, L) local shard; length: (1,) local byte count
         d = data[0]
@@ -45,14 +48,16 @@ def _sharded_encode(mesh: Mesh, axis: str, L: int, prob_bits: int,
         if shared_stats:
             # one probability table for the whole logical tensor: psum the
             # shard histograms, normalize once, encode every shard with it
-            hist = jax.lax.psum(stats.histogram_u8(d, n), axis)
+            hist = jax.lax.psum(backend_mod.histogram_u8(d, n, be), axis)
             total = jax.lax.psum(n, axis)
             pdf = stats.normalize_probs(hist, total.astype(jnp.uint32), prob_bits)
-            arc, size = ans_encode_mod.ans_encode_padded_with_pdf(
-                d, n, prob_bits, pdf
+            arc, size = backend_mod.ans_encode_padded(
+                d, n, prob_bits, precomputed_pdf=pdf, backend=be
             )
         else:
-            arc, size = ans_encode_mod.ans_encode_padded(d, n, prob_bits, False)
+            arc, size = backend_mod.ans_encode_padded(
+                d, n, prob_bits, backend=be
+            )
         return arc[None], size[None]
 
     f = shard_map(
@@ -67,8 +72,10 @@ def _sharded_encode(mesh: Mesh, axis: str, L: int, prob_bits: int,
 
 @functools.lru_cache(maxsize=None)
 def _sharded_decode(mesh: Mesh, axis: str, A: int, L: int, prob_bits: int):
+    be = backend_mod.default_backend()
+
     def local(arcs, caps):
-        r = ans_decode_mod.ans_decode_padded(arcs[0], prob_bits, L, False)
+        r = backend_mod.ans_decode_padded(arcs[0], prob_bits, L, False, be)
         ok = r["success"] & (r["size"] <= caps[0].astype(jnp.uint32))
         return r["out"][None], r["size"][None], ok[None]
 

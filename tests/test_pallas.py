@@ -766,3 +766,37 @@ def test_pallas_encode_flush_group_interpret(interpret_pallas, rng, G,
     assert size_h == ref_arc.size
     assert np.array_equal(np.asarray(arc)[:size_h], ref_arc)
     pe._build_encode_call.cache_clear()
+
+
+def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
+                                              monkeypatch):
+    """The shard_map data-parallel codec rides the Pallas kernels when the
+    backend routes there (TPU platforms); archives stay bit-equal to the
+    oracle across the mesh."""
+    from dietgpu_tpu.parallel import make_mesh, shard_compress, shard_decompress
+    from dietgpu_tpu.parallel import sharding as sharding_mod
+    from dietgpu_tpu.ref import ans_ref
+
+    monkeypatch.setenv("DIETTPU_BACKEND", "pallas")
+    sharding_mod._sharded_encode.cache_clear()
+    sharding_mod._sharded_decode.cache_clear()
+
+    n_dev, L = 8, C.DEFAULT_BLOCK_SIZE
+    mesh = make_mesh(n_dev)
+    data = _expo_bytes(rng, n_dev * L).reshape(n_dev, L)
+    lengths = np.full(n_dev, L, np.int32)
+    arcs, sizes = shard_compress(
+        mesh, jnp.asarray(data), jnp.asarray(lengths)
+    )
+    arcs_h = np.asarray(arcs)
+    for d in range(n_dev):
+        oracle = ans_ref.ans_encode(data[d], prob_bits=C.DEFAULT_PROB_BITS)
+        assert np.array_equal(arcs_h[d, : oracle.size], oracle), d
+    outs, out_sizes, ok = shard_decompress(
+        mesh, arcs, jnp.asarray(lengths), L
+    )
+    assert np.asarray(ok).all()
+    assert np.array_equal(np.asarray(outs)[:, :L], data)
+
+    sharding_mod._sharded_encode.cache_clear()
+    sharding_mod._sharded_decode.cache_clear()
