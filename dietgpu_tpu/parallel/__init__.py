@@ -10,6 +10,7 @@ from .collectives import (  # noqa: F401
     compressed_all_gather_auto,
     compressed_all_reduce,
     compressed_all_to_all,
+    compressed_ppermute,
     compressed_reduce_scatter,
 )
 from .runtime import initialize_multihost  # noqa: F401

@@ -398,6 +398,106 @@ def compressed_all_to_all(
 
 
 @functools.lru_cache(maxsize=None)
+def _build_ppermute(
+    mesh: Mesh,
+    axis: str,
+    shard_words: int,
+    dtype_name: str,
+    budget: int,
+    prob_bits: int,
+    perm: tuple,
+):
+    dtype = jnp.dtype(dtype_name)
+    ft = _float_type_of(dtype)
+    word = dtype.itemsize
+    wd = _WORD_DTYPE[word]
+    Lw = C.round_up(shard_words, C.DEFAULT_BLOCK_SIZE)
+    n_dev = mesh.devices.size
+
+    use_pallas = backend_mod.default_backend() == "pallas"
+    compress, decompress, unit, F = _codec(
+        ft, word, Lw, shard_words, prob_bits, use_pallas
+    )
+    bunits = C.round_up(budget, unit) // unit
+    pdt = _U32 if unit == 4 else jnp.uint8
+    perm_list = list(perm)
+
+    def local(x):
+        words = jax.lax.bitcast_convert_type(x[0], wd)
+        padded = jnp.zeros(Lw, wd).at[:shard_words].set(words)
+        arc, size = compress(padded)
+        fits = size <= _U32(budget)
+        # devices with no inbound edge receive zeros — mask their output
+        valid = jax.lax.ppermute(
+            jnp.ones((1,), jnp.int32), axis, perm_list
+        )[0] == 1
+
+        def compressed_path(_):
+            arcp = jnp.concatenate([arc, jnp.zeros(bunits, pdt)])
+            payload = jax.lax.dynamic_slice(arcp, (0,), (bunits,))
+            recv = jax.lax.ppermute(payload, axis, perm_list)
+            buf = jnp.zeros(max(F // unit, bunits), pdt).at[:bunits].set(recv)
+            return decompress(buf)[:shard_words]
+
+        def raw_path(_):
+            return jax.lax.ppermute(words, axis, perm_list)
+
+        # any sender overflowing the budget forces the raw wire everywhere
+        # so every chip takes the same branch
+        all_fit = jax.lax.psum(fits.astype(jnp.int32), axis) == n_dev
+        out_words = jax.lax.cond(all_fit, compressed_path, raw_path, None)
+        out_words = jnp.where(valid, out_words, jnp.zeros_like(out_words))
+        out = jax.lax.bitcast_convert_type(out_words, dtype)
+        return out[None], all_fit[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def compressed_ppermute(
+    x: jax.Array,
+    mesh: Mesh,
+    perm: list[tuple[int, int]] | None = None,
+    axis: str = "dp",
+    budget_bytes: int | None = None,
+    prob_bits: int = C.DEFAULT_PROB_BITS,
+):
+    """Point-to-point shard exchange (lax.ppermute) with on-the-fly float
+    compression — the pipeline-parallel / halo-exchange member of the
+    collective family: stage s forwards its activations (or boundary halo)
+    to stage perm[s] as compressed bytes.
+
+    Args:
+      x: (n_dev, shard_words) — row s is device s's outgoing shard.
+      perm: (src, dst) pairs as for jax.lax.ppermute; each src/dst at most
+        once. Default: the +1 ring shift (pipeline forwarding).
+
+    Returns ((n_dev, shard_words) — row d is what device d received, zeros
+    where no edge targets d — and used_compression (n_dev,) bool; any
+    sender overflowing the byte budget flips the whole exchange to raw).
+    """
+    n_dev, shard_words = x.shape
+    assert n_dev == mesh.devices.size
+    if perm is None:
+        perm = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+    word = x.dtype.itemsize
+    if budget_bytes is None:
+        budget_bytes = default_budget_bytes(shard_words, word)
+    fn = _build_ppermute(
+        mesh, axis, shard_words, jnp.dtype(x.dtype).name, budget_bytes,
+        prob_bits, tuple((int(s), int(d)) for s, d in perm),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    return fn(x)
+
+
+@functools.lru_cache(maxsize=None)
 def _build_reduce_scatter(
     mesh: Mesh,
     axis: str,

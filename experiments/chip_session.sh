@@ -60,6 +60,9 @@ step validate_float  900 python experiments/validate_float.py
 step validate_batched 900 python experiments/validate_batched.py
 step ab_flush_group 900 env MWORDS=64 ITERS=32 python experiments/ab_flush_group.py
 step ab_ncmode 1800 env MWORDS=64 ITERS=32 python experiments/ab_ncmode.py
+# T=256 (bt=1024) divides the 64Mi-word grid exactly (2048 rows); the round-2
+# T=192 regression was confounded by 12.5% grid padding at this size.
+step tune_tile 1800 env MWORDS=64 python experiments/tune_tile.py 512 1024 2048
 step tpu_pytest 3600 env DIETGPU_TEST_TPU=1 python -m pytest tests/test_pallas.py -q -k tpu
 step sweep 5400 python benchmarks/sweep.py
 step bench 1200 python bench.py

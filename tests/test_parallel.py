@@ -182,3 +182,49 @@ def test_compressed_all_reduce(mesh, rng):
     expect = x.sum(axis=0)
     for d in range(N_DEV):
         np.testing.assert_array_equal(got[d], expect)
+
+
+def test_compressed_ppermute_ring(mesh, rng):
+    """Default +1 ring shift: device d receives device d-1's shard."""
+    from dietgpu_tpu.parallel import compressed_ppermute
+
+    shard_words = 8192
+    x = rng.standard_normal((N_DEV, shard_words)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out, used = compressed_ppermute(xb, mesh)
+    assert np.all(np.asarray(used))
+    got = np.asarray(out)
+    expect = np.asarray(xb)
+    for d in range(N_DEV):
+        np.testing.assert_array_equal(
+            got[d].view(np.uint16), expect[(d - 1) % N_DEV].view(np.uint16)
+        )
+
+
+def test_compressed_ppermute_partial_and_fallback(mesh, rng):
+    """Sparse perm: unreceiving devices get zeros; tiny budget goes raw."""
+    from dietgpu_tpu.parallel import compressed_ppermute
+
+    shard_words = 4096
+    perm = [(0, 3), (1, 5)]  # devices 2,4,6,7 receive nothing
+    x = rng.standard_normal((N_DEV, shard_words)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out, used = compressed_ppermute(xb, mesh, perm=perm)
+    assert np.all(np.asarray(used))
+    got = np.asarray(out)
+    expect = np.asarray(xb)
+    np.testing.assert_array_equal(
+        got[3].view(np.uint16), expect[0].view(np.uint16)
+    )
+    np.testing.assert_array_equal(
+        got[5].view(np.uint16), expect[1].view(np.uint16)
+    )
+    for d in (0, 1, 2, 4, 6, 7):
+        assert not np.any(got[d].view(np.uint16)), f"device {d} not zeroed"
+
+    # overflow vote: a 16-byte budget cannot hold any archive -> raw wire
+    out2, used2 = compressed_ppermute(xb, mesh, perm=perm, budget_bytes=16)
+    assert not np.any(np.asarray(used2))
+    np.testing.assert_array_equal(
+        np.asarray(out2)[3].view(np.uint16), expect[0].view(np.uint16)
+    )
