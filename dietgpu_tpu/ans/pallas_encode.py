@@ -68,6 +68,22 @@ def _flush_group() -> int:
     return g
 
 
+def _divmode() -> str:
+    """Division strategy in the encode hot loop (hardware A/B knob).
+
+    "magic": the reference's magic-number division (__umulhi analogue via
+    16-bit limb products, GpuANSEncode.cuh:79-86) — ~19 vector ops/step.
+    "f32": round-nearest f32 reciprocal + one two-sided +-1 correction
+    (exactness proof in stats.div_rcp_f32_bits) — ~13 ops/step. Both are
+    bit-exact; archives are identical."""
+    m = _os.environ.get("DIETGPU_ENCODE_DIVMODE", "magic")
+    if m not in ("magic", "f32"):
+        raise ValueError(
+            f"DIETGPU_ENCODE_DIVMODE={m!r} must be 'magic' or 'f32'"
+        )
+    return m
+
+
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
@@ -122,6 +138,7 @@ def _encode_kernel(
     T: int,
     per_row_tables: bool,
     G: int,  # steps between window flushes (window = G+1 registers)
+    divmode: str,  # "magic" umulhi division | "f32" reciprocal+correction
     meta_ref,  # VMEM (T,128): lane 32g+0 = symbol count of block 4*row+g
     data_ref,  # VMEM (T,32,128): [r, 8g+c, :] = block 4r+g input chunk c
     pcs_ref,
@@ -284,16 +301,29 @@ def _encode_kernel(
             mg = sym
         pdf = pv & 0xFFF
         cdf = _srl(pv, 12) & 0xFFF
-        shift = _srl(pv, 24) & 0x1F
+        if divmode != "f32":
+            shift = _srl(pv, 24) & 0x1F
 
         write = act & (_srl(state, 31 - prob_bits) >= pdf)
         outv = state & 0xFFFF
         state1 = jnp.where(write, _srl(state, 16), state)
 
         if "div" not in _ABLATE:
-            t = _umulhi_i32(state1, mg)
-            div = _srl(t + state1, shift)
-            mod = state1 - div * pdf
+            if divmode == "f32":
+                # exact reciprocal division: q0 is within 0.75 of the true
+                # quotient (proof: stats.div_rcp_f32_bits), so one
+                # two-sided correction against the residual is exact
+                rcp = jax.lax.bitcast_convert_type(mg, jnp.float32)
+                q0 = (state1.astype(jnp.float32) * rcp).astype(_I32)
+                mod0 = state1 - q0 * pdf
+                neg = (mod0 < 0).astype(_I32)
+                ge = (mod0 >= pdf).astype(_I32)
+                div = q0 + ge - neg
+                mod = mod0 + (neg - ge) * pdf
+            else:
+                t = _umulhi_i32(state1, mg)
+                div = _srl(t + state1, shift)
+                mod = state1 - div * pdf
         else:
             div = _srl(state1, prob_bits)
             mod = state1 & ((1 << prob_bits) - 1)
@@ -367,11 +397,12 @@ def _encode_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build_encode_call(NBp: int, prob_bits: int, T: int,
-                       per_row_tables: bool = False, G: int = 4):
+                       per_row_tables: bool = False, G: int = 4,
+                       divmode: str = "magic"):
     assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
     kernel = functools.partial(
-        _encode_kernel, prob_bits, T, per_row_tables, G
+        _encode_kernel, prob_bits, T, per_row_tables, G, divmode
     )
     NR = NBp // BPR
     if per_row_tables:
@@ -515,12 +546,18 @@ def _build_assembly_call(NBp: int, T: int, XR: int):
     )
 
 
-def build_encode_tables(pdf: jnp.ndarray):
-    """XLA prologue: (pdf | cdf<<12 | shift<<24) and magic, 256 each."""
+def build_encode_tables(pdf: jnp.ndarray, divmode: str = "magic"):
+    """XLA prologue: (pdf | cdf<<12 | shift<<24) and the division table
+    (magic constants, or round-nearest f32 reciprocal bits in "f32" mode),
+    256 entries each."""
     pdf = pdf.astype(_U32)
     cdf = jnp.concatenate([jnp.zeros(1, _U32), jnp.cumsum(pdf)[:-1]])
-    magic, shift = stats.div_magic_u32(pdf)
-    pcs = pdf | (cdf << 12) | (shift << 24)
+    if divmode == "f32":
+        magic = stats.div_rcp_f32_bits(pdf)
+        pcs = pdf | (cdf << 12)
+    else:
+        magic, shift = stats.div_magic_u32(pdf)
+        pcs = pdf | (cdf << 12) | (shift << 24)
     return pcs.astype(_I32).reshape(2, 128), magic.astype(_I32).reshape(2, 128)
 
 
@@ -531,7 +568,8 @@ def _encode_stage1(
     """Traced stage 1: tables + the encode kernel. Returns per-block results."""
     NB = L // C.DEFAULT_BLOCK_SIZE
     nb = (length + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
-    pcs, magic = build_encode_tables(pdf)
+    dm = _divmode()
+    pcs, magic = build_encode_tables(pdf, dm)
     pre = jnp.asarray(_prefix_matrix(), jnp.bfloat16)
 
     bidx = jnp.arange(NBp, dtype=_I32)
@@ -549,7 +587,9 @@ def _encode_stage1(
     # dense input layout: [r, 8g+c, :] = block 4r+g chunk c (pure reshape)
     d32 = d32.reshape(NR, BPR * (S // CHUNK), 128)
 
-    call = _build_encode_call(NBp, prob_bits, T // BPR, G=_flush_group())
+    call = _build_encode_call(
+        NBp, prob_bits, T // BPR, G=_flush_group(), divmode=dm
+    )
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
     checksum = _U32(0)
@@ -835,7 +875,8 @@ def ans_encode_batched_pallas(
     meta = meta3.reshape(rows, 128)
 
     # per-row tables: each member's tables broadcast over its NR_m rows
-    pcs_m, magic_m = jax.vmap(build_encode_tables)(pdfs)
+    dm = _divmode()
+    pcs_m, magic_m = jax.vmap(lambda p: build_encode_tables(p, dm))(pdfs)
     pcs_rows = jnp.broadcast_to(
         pcs_m[:, None], (B, NR_m, 2, 128)
     ).reshape(rows, 2, 128)
@@ -854,7 +895,7 @@ def ans_encode_batched_pallas(
     with annotate("ans.encode_kernel_batched"):
         call = _build_encode_call(
             rows * BPR, prob_bits, tile, per_row_tables=True,
-            G=_flush_group(),
+            G=_flush_group(), divmode=dm,
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre

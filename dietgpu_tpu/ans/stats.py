@@ -83,6 +83,41 @@ def div_magic_u32(pdf: jnp.ndarray):
     return magic, shift
 
 
+def div_rcp_f32_bits(pdf: jnp.ndarray) -> jnp.ndarray:
+    """f32 bit pattern of the round-to-nearest reciprocal 1/pdf (u32).
+
+    Exact-division alternative to the reference's magic-number pairs for
+    the encode kernel: with rcp correctly rounded to nearest, the quotient
+    estimate q0 = trunc(f32(state1) * rcp) satisfies |q0 - state1/pdf| <
+    0.75 for every state1 < pdf * 2^(31-probBits) (probBits >= 9), because
+    the true quotient is < 2^22 and the three rounding steps contribute
+    relative error <= 3 * 2^-24 — so one two-sided +-1 correction against
+    mod0 = state1 - q0*pdf recovers the exact floor quotient.
+
+    Computed in pure u32 math (no u64, no trust in the backend's f32
+    divide): for non-power-of-2 pdf the significand is
+    s = round(2^(24+j)/pdf) with j = floor(log2 pdf) — tie-free since
+    2^(25+j) = (2s+1)*pdf would force pdf to be a power of two — via
+    16-bit long division. pdf == 0 (absent symbol) maps to 0.0f; such
+    lanes are dead and their states are masked by the activity bit.
+    """
+    p = pdf.astype(_U32)
+    pc = jnp.maximum(p, _U32(1))
+    j = _U32(31) - jax.lax.clz(pc)  # floor(log2(pdf))
+    is_pow2 = (pc & (pc - _U32(1))) == 0
+    # s = floor((2^(25+j) + pdf) / (2*pdf)); numerator split as
+    # 2^(9+j) * 2^16 + pdf (pdf < 2^12 so every limb fits u32)
+    d = pc << 1
+    hi = _U32(1) << (j + _U32(9))
+    qh = hi // d
+    rh = hi - qh * d
+    s = (qh << 16) + ((rh << 16) + pc) // d
+    bits_np2 = ((_U32(126) - j) << 23) | (s - (_U32(1) << 23))
+    bits_p2 = (_U32(127) - j) << 23
+    bits = jnp.where(is_pow2, bits_p2, bits_np2)
+    return jnp.where(p == 0, _U32(0), bits)
+
+
 def umulhi_u32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """High 32 bits of the u32 x u32 product via 16-bit limbs (no u64)."""
     al = a & _U32(0xFFFF)

@@ -60,6 +60,7 @@ step validate_float  900 python experiments/validate_float.py
 step validate_batched 900 python experiments/validate_batched.py
 step ab_flush_group 900 env MWORDS=64 ITERS=32 python experiments/ab_flush_group.py
 step ab_ncmode 1800 env MWORDS=64 ITERS=32 python experiments/ab_ncmode.py
+step ab_divmode 900 env MWORDS=64 ITERS=32 python experiments/ab_divmode.py
 # T=256 (bt=1024) divides the 64Mi-word grid exactly (2048 rows); the round-2
 # T=192 regression was confounded by 12.5% grid padding at this size.
 step tune_tile 1800 env MWORDS=64 python experiments/tune_tile.py 512 1024 2048

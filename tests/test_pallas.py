@@ -768,6 +768,38 @@ def test_pallas_encode_flush_group_interpret(interpret_pallas, rng, G,
     pe._build_encode_call.cache_clear()
 
 
+@pytest.mark.parametrize("pb", [9, 10, 11])
+def test_pallas_encode_divmode_f32_interpret(interpret_pallas, rng, pb,
+                                             monkeypatch):
+    """DIETGPU_ENCODE_DIVMODE=f32 (reciprocal division + one two-sided
+    correction, exactness proof in stats.div_rcp_f32_bits) produces
+    archives bit-identical to the oracle at every probBits — including
+    skewed data whose pdf hits the extreme magic/reciprocal constants."""
+    from dietgpu_tpu.ans import pallas_encode as pe
+    from dietgpu_tpu.ref import ans_ref
+
+    monkeypatch.setenv("DIETGPU_ENCODE_DIVMODE", "f32")
+    pe._build_encode_call.cache_clear()
+    n = 3 * C.DEFAULT_BLOCK_SIZE + 11
+    data = _expo_bytes(rng, n)
+    # a uniform stretch (flat pdf) and a near-constant stretch (pdf near
+    # 2^pb, tiny pdf for the rare symbols) stress both reciprocal extremes
+    data[: n // 4] = rng.integers(0, 256, n // 4, dtype=np.uint8)
+    data[-n // 4 :] = 7
+    data[-n // 4 :: 97] = 201
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    ref_arc = np.asarray(ans_ref.ans_encode(data, prob_bits=pb))
+    arc, size = pe.ans_encode_padded_pallas(
+        jnp.asarray(padded), n, prob_bits=pb
+    )
+    size_h = int(np.asarray(size)) & 0x7FFFFFFF
+    assert size_h == ref_arc.size
+    assert np.array_equal(np.asarray(arc)[:size_h], ref_arc)
+    pe._build_encode_call.cache_clear()
+
+
 def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
                                               monkeypatch):
     """The shard_map data-parallel codec rides the Pallas kernels when the
