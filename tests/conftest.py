@@ -27,10 +27,33 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (heavy interpret-mode kernels, "
+        "multi-process runtime)",
+    )
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running tests (multi-process runtime, sweeps)"
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default tier skips `slow` tests so `pytest -q` stays fast on a plain
+    CPU box; run the full tier with `pytest --runslow` (or RUN_SLOW=1)
+    pre-commit. No coverage is lost — the slow tier contains the heavy
+    interpret-mode kernel shapes and the multi-process runtime test."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; use --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

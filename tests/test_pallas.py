@@ -105,6 +105,7 @@ def test_pallas_ans_roundtrip_interpret_pb(interpret_pallas, rng, pb):
     assert np.array_equal(np.asarray(r["out"])[:n], data)
 
 
+@pytest.mark.slow
 def test_pallas_ans_multitile_interpret(interpret_pallas, rng):
     """3-tile grid at block_tile=32: exercises the cross-tile DMA boundary,
     the assembly spill rows, and dense-decode tile geometry (VERDICT #7)."""
@@ -221,8 +222,14 @@ def test_pallas_encode_overflow_interpret(interpret_pallas):
 
 
 @pytest.mark.parametrize(
-    "ft,n", [(2, 4095), (1, 6001), (3, 4097), (3, 8192)]
-)  # bf16, f16, f32 (3-plane); odd tails
+    "ft,n",
+    [
+        (2, 4095),
+        (1, 6001),
+        pytest.param(3, 4097, marks=pytest.mark.slow),
+        pytest.param(3, 8192, marks=pytest.mark.slow),
+    ],
+)  # bf16, f16, f32 (3-plane, slow tier); odd tails
 def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
     """Fused decode+join tail masking across float types (JoinFloatWriter
     analogue; f32 runs the 3-plane fused join)."""
@@ -251,6 +258,7 @@ def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
     assert not got[n:].any()
 
 
+@pytest.mark.slow
 def test_pallas_batched_ans_decode_interpret(interpret_pallas, rng):
     """One-grid multi-archive decode (per-row tables) matches per-member
     decode, with ragged member sizes and per-member probability tables."""
@@ -294,6 +302,7 @@ def test_pallas_batched_ans_decode_interpret(interpret_pallas, rng):
         )
 
 
+@pytest.mark.slow
 def test_pallas_batched_spanning_tiles_interpret(interpret_pallas, rng):
     """Small members force tiles to SPAN members (enlarged DMA window):
     8 members x 2 blocks, ragged, distinct tables — one tile covers all."""
@@ -344,6 +353,7 @@ def _unpack_out32(out32_row, ft, Lw):
     return got
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ft", [1, 2, 3])
 def test_pallas_batched_float_decode_interpret(interpret_pallas, rng, ft):
     """Batched fused decode+join equals the single-archive fused path
@@ -469,6 +479,7 @@ def test_pallas_ans_tpu_mixed_compressibility(rng):
     assert np.array_equal(np.asarray(r["out"])[:n], mix)
 
 
+@pytest.mark.slow
 def test_pallas_batched_ans_encode_interpret(interpret_pallas, rng):
     """One-grid batched encode (per-row tables, member-spanning tiles)
     produces byte-identical archives to the single-tensor pallas path and
@@ -508,6 +519,7 @@ def test_pallas_batched_ans_encode_interpret(interpret_pallas, rng):
         ), m
 
 
+@pytest.mark.slow
 def test_pallas_batched_float_encode_interpret(interpret_pallas, rng):
     """Batched float compress (one stage-1 grid) emits byte-identical
     archives to the single-tensor pipeline; batched decode roundtrips."""
@@ -547,6 +559,7 @@ def test_pallas_batched_float_encode_interpret(interpret_pallas, rng):
         assert np.array_equal(out[m], words[m]), m
 
 
+@pytest.mark.slow
 def test_pallas_batched_f32_encode_interpret(interpret_pallas, rng):
     """Batched f32 compress: two-plane layout, one stage-1 grid."""
     from dietgpu_tpu.floatcodec import pallas_codec as pfc
@@ -571,6 +584,7 @@ def test_pallas_batched_f32_encode_interpret(interpret_pallas, rng):
         ), m
 
 
+@pytest.mark.slow
 def test_api_routes_pallas_backend_interpret(interpret_pallas, rng, monkeypatch):
     """The 10-op batch API must ride the Pallas pipelines when the backend
     is pallas (TPU): float + raw-ANS compress/decompress roundtrip through
@@ -615,6 +629,7 @@ def test_api_routes_pallas_backend_interpret(interpret_pallas, rng, monkeypatch)
     assert np.array_equal(np.asarray(outs[0]), np.asarray(b0))
 
 
+@pytest.mark.slow
 def test_api_onegrid_uniform_batch_interpret(interpret_pallas, rng, monkeypatch):
     """Uniform-length batches ride the ONE-GRID batched kernels through the
     public API (compress_data + the _simple decode tier), with archives
@@ -662,6 +677,7 @@ def test_api_onegrid_uniform_batch_interpret(interpret_pallas, rng, monkeypatch)
         assert np.array_equal(np.asarray(outs2[i]), np.asarray(bs[i])), i
 
 
+@pytest.mark.slow
 def test_pallas_float_fused_checksum_interpret(interpret_pallas, rng):
     """The split-kernel-fused XOR checksum must be bit-identical to the
     oracle's (archives byte-equal under use_checksum=True for all three
@@ -711,6 +727,7 @@ def test_pallas_float_fused_checksum_interpret(interpret_pallas, rng):
         assert bool(np.asarray(r["checksum_ok"]))
 
 
+@pytest.mark.slow
 def test_pallas_ans_fused_checksum_interpret(interpret_pallas, rng):
     """use_checksum=True on the raw-ANS Pallas path rides the histogram
     kernel (fused XOR accumulator) — archives must stay bit-equal to the
@@ -743,6 +760,7 @@ def test_pallas_ans_fused_checksum_interpret(interpret_pallas, rng):
     assert np.array_equal(np.asarray(arc)[:size_h], ref_arc)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("G", [1, 2])
 def test_pallas_encode_flush_group_interpret(interpret_pallas, rng, G,
                                              monkeypatch):
@@ -768,6 +786,7 @@ def test_pallas_encode_flush_group_interpret(interpret_pallas, rng, G,
     pe._build_encode_call.cache_clear()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pb", [9, 10, 11])
 def test_pallas_encode_divmode_f32_interpret(interpret_pallas, rng, pb,
                                              monkeypatch):
@@ -800,6 +819,7 @@ def test_pallas_encode_divmode_f32_interpret(interpret_pallas, rng, pb,
     pe._build_encode_call.cache_clear()
 
 
+@pytest.mark.slow
 def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
                                               monkeypatch):
     """The shard_map data-parallel codec rides the Pallas kernels when the
