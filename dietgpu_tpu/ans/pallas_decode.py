@@ -132,8 +132,24 @@ def _decode_kernel(
     #               spanning-batch mode already covers whole member
     #               regions (zero XLA copy AND zero extra HBM read)
     nc_mode: str,
+    with_cksum: bool,
+    lazy_refill: bool,
+    act_spec: bool,
     *refs,
 ):
+    # fused checksum: a second (8,128) output accumulates the XOR of every
+    # out row across the grid, so `use_checksum=True` decode needs no extra
+    # full-output HBM pass (encode-side fusion mirrored; the reference's
+    # verify is one small kernel + 3 scalar d2h, GpuANSDecode.cuh:556-591).
+    # The ref sits between out_ref and the scratch refs; intercept it here
+    # so the per-mode unpacking below stays unchanged.
+    if with_cksum:
+        nscr = 7 if nc_mode == "tilebuf" else 6
+        refs = list(refs)
+        cks_ref = refs.pop(-nscr - 1)
+        refs = tuple(refs)
+    else:
+        cks_ref = None
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
     the float join in place of the raw byte output — the TPU analogue of
     the reference's fused JoinFloatWriter decode
@@ -346,12 +362,15 @@ def _decode_kernel(
                 [nc_ref[1:, 0, :], ncnxt_ref[:, 0, :]], axis=0
             )
 
-    def one_step(kk, state, pos, wins, baseq):
+    def one_step(kk, state, pos, wins, baseq, masked):
         # lanes past the block's symbol count go inactive; the single
         # hoisted-subtract compare covers full steps, the partial tail
         # step, and dead blocks at once (kk is the step index, 32
-        # symbols/step)
-        act = negu < -(kk << 5)
+        # symbols/step). Tiles whose blocks are ALL full skip the activity
+        # machinery entirely (masked=False): the tile-level fullness test
+        # costs one reduction per grid step, and every step saves the
+        # compare + three act-selects (~7% of the hot loop).
+        act = (negu < -(kk << 5)) if masked else None
 
         s_bar = state & (K - 1)
         q = _srl(s_bar, 2)
@@ -370,9 +389,11 @@ def _decode_kernel(
         cdf = _srl(pv, 12) & 0xFFF
 
         ns = pdf * _srl(state, prob_bits) + (s_bar - cdf)
-        state1 = jnp.where(act, ns, state)
+        state1 = jnp.where(act, ns, state) if masked else ns
 
-        read = act & (state1 < C.ANS_MIN_STATE)
+        read = state1 < C.ANS_MIN_STATE
+        if masked:
+            read = act & read
         if "rank" not in _ABLATE:
             rb = read.astype(jnp.bfloat16)
             # one matmul yields rank + 64*cnt packed (see _suffix_matrix)
@@ -398,7 +419,7 @@ def _decode_kernel(
 
         state2 = jnp.where(read, (state1 << 16) | v16, state1)
         pos = pos - cnt
-        return jnp.where(act, sym, 0), state2, pos
+        return (jnp.where(act, sym, 0) if masked else sym), state2, pos
 
     def refill(pos):
         """Per-group 256-u16-word windows covering the next 8 steps' reads.
@@ -442,19 +463,39 @@ def _decode_kernel(
         )
         return wins, base - off32
 
-    def chunk_body(c, carry):
+    def chunk_body(masked, c, carry):
         state, pos, w0, w1, w2, w3, baseq = carry
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         packs = [None] * (CHUNK // GROUP)
         for m in range(CHUNK // GROUP - 1, -1, -1):
             # each per-group window covers two 4-step groups; refill on odd m
             if m % 2 == 1:
-                (w0, w1, w2, w3), baseq = refill(pos)
+                if lazy_refill:
+                    # the window covers u32 words [base, base+128); the next
+                    # 8 steps read u16 indices >= pos - 256, i.e. u32 words
+                    # >= off32 + (pos-256)>>1. Worst-case data consumes the
+                    # whole window in 8 steps, but typical N(0,1) exponent
+                    # streams emit ~5 words/step/block — the window then
+                    # lasts ~5x longer, and the page-loop refill (~16% of
+                    # kernel time when run eagerly) is skipped until any
+                    # live block actually approaches its window base.
+                    need = jnp.any(
+                        (pos > 0) & (((pos - 256) >> 1) < baseq)
+                    )
+                    (w0, w1, w2, w3), baseq = jax.lax.cond(
+                        need,
+                        lambda: refill(pos),
+                        lambda: ((w0, w1, w2, w3), baseq),
+                    )
+                else:
+                    (w0, w1, w2, w3), baseq = refill(pos)
             wins = (w0, w1, w2, w3)
             syms = [None] * GROUP
             for d in range(GROUP - 1, -1, -1):
                 kk = cc * CHUNK + GROUP * m + d
-                syms[d], state, pos = one_step(kk, state, pos, wins, baseq)
+                syms[d], state, pos = one_step(
+                    kk, state, pos, wins, baseq, masked
+                )
             if "pack" in _ABLATE:
                 packs[m] = syms[0]
                 continue
@@ -604,9 +645,55 @@ def _decode_kernel(
         zeros,
         zeros,
         zeros,
-        zeros,
+        # lazy mode: a huge initial window base forces the first refill
+        zeros + (1 << 29) if lazy_refill else zeros,
     )
-    jax.lax.fori_loop(0, S // CHUNK, chunk_body, init)
+    if act_spec:
+        # tiles whose blocks are ALL full run the unmasked loop (one traced
+        # copy each; the grid picks per tile) — only the final tile of a
+        # member carries a partial/dead block and pays the act machinery
+        is_full = jnp.all(uncomp == C.DEFAULT_BLOCK_SIZE)
+
+        @pl.when(is_full)
+        def _():
+            jax.lax.fori_loop(
+                0, S // CHUNK, functools.partial(chunk_body, False), init
+            )
+
+        @pl.when(jnp.logical_not(is_full))
+        def _():
+            jax.lax.fori_loop(
+                0, S // CHUNK, functools.partial(chunk_body, True), init
+            )
+    else:
+        jax.lax.fori_loop(
+            0, S // CHUNK, functools.partial(chunk_body, True), init
+        )
+
+    if cks_ref is not None:
+        # XOR-fold this tile's out rows (VMEM-resident, tail words already
+        # zero-masked) into the running (8,128) digest. ~1 vector op per
+        # decode step — no extra HBM traffic.
+        if fuse_ft is None:
+            n_out_rows = S // CHUNK * BPR
+        elif fuse_ft == C.FLOAT_TYPE_FLOAT32:
+            n_out_rows = 128
+        else:
+            n_out_rows = 64
+        acc = out_ref[:, 0, :]
+        for j in range(1, n_out_rows):
+            acc = acc ^ out_ref[:, j, :]
+        fold = acc[0:8, :]
+        for k in range(1, T // 8):
+            fold = fold ^ acc[8 * k : 8 * (k + 1), :]
+
+        @pl.when(i == 0)
+        def _():
+            cks_ref[:] = fold
+
+        @pl.when(i > 0)
+        def _():
+            cks_ref[:] = cks_ref[:] ^ fold
 
 
 @functools.lru_cache(maxsize=None)
@@ -619,6 +706,9 @@ def _build_decode_call(
     per_row_tables: bool = False,
     rt_rows: int | None = None,
     nc_mode: str = "xla",
+    with_cksum: bool = False,
+    lazy_refill: bool = False,
+    act_spec: bool = False,
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
@@ -632,7 +722,8 @@ def _build_decode_call(
     ), "tilebuf nonComp exists only for the f16/bf16 fused join"
 
     kernel = functools.partial(
-        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode,
+        with_cksum, lazy_refill, act_spec,
     )
     if per_row_tables:
         table_specs = [
@@ -748,6 +839,14 @@ def _build_decode_call(
         n_prefetch = 3  # + per-tile-row nonComp window offsets
         scratch.append(pltpu.VMEM((T, 33, 128), _I32))
     scratch.append(pltpu.SemaphoreType.DMA)
+    if with_cksum:
+        out_spec = [
+            out_spec,
+            pl.BlockSpec(
+                (8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, 128), _I32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(grid,),
@@ -866,11 +965,17 @@ def ans_decode_padded_pallas(
     # archive tail is short); archive_buffer_bytes_pallas allocates that
     # slack. Without it, clipping tile_row0 would misalign live streams.
     sect_end = arc_base_bound + 136 + NBp * W + 2 * NBp + 2
+    # The last tile's DMA window [tile_row0, tile_row0 + RT) starts at its
+    # FIRST block's stream row, which is at most ds32_rows +
+    # (NBp - BPR*T) * 10 (every earlier block's payload <= 10 rows), and
+    # RT = BPR*T*10 + 48 — so the window never extends more than ~56 rows
+    # past the worst-case payload end; RT does NOT add on top of it
+    # (round-2 sized buffers for payload + RT, double-counting the last
+    # tile's own blocks and fixing ~5.4 MB of slack into every buffer).
     dma_end_rows = (
         C.div_up(arc_base_bound + 138 + 34 * NBp, 128)
         + NBp * (MW // 256)
-        + RT
-        + 2
+        + 56
     )
     fast = (
         A32 % 128 == 0
@@ -1003,8 +1108,25 @@ def ans_decode_padded_pallas(
     if _os.environ.get("DIETGPU_DECODE_NCMODE") == "xla":
         nc_mode = "xla"  # hardware A/B knob: force the XLA-slice path
     call = _build_decode_call(
-        NBp, prob_bits, T, need_rows, fuse_float, nc_mode=nc_mode
+        NBp, prob_bits, T, need_rows, fuse_float, nc_mode=nc_mode,
+        with_cksum=verify_checksum,
+        lazy_refill=_os.environ.get("DIETGPU_DECODE_REFILL") == "lazy",
+        act_spec=_os.environ.get("DIETGPU_DECODE_ACTSPEC") == "on",
     )
+
+    def _digest(call_out):
+        """Unpack (out, cks) when the fused checksum rides along; fold the
+        (8,128) XOR accumulator to the 8-bit checksum value."""
+        if not verify_checksum:
+            return call_out, None
+        out, cks = call_out
+        acc = jax.lax.reduce(
+            cks.astype(_U32), _U32(0), jax.lax.bitwise_xor, (0, 1)
+        )
+        from .checksum import _fold8
+
+        return out, _fold8(acc)
+
     result = {
         "size": n.astype(_U32),
         "success": success,
@@ -1026,29 +1148,31 @@ def ans_decode_padded_pallas(
         if nc_mode == "alias":
             # zero-copy lo plane: bitcast 64-row-slot view of the buffer
             arc64 = arc_rows.reshape(need_rows // 64, 64, 128)
-            out = call(
+            out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo,
                 phi, suf, arc64, arc64, hi3, arc_rows,
-            )
+            ))
         else:
             lo_flat = jax.lax.dynamic_slice(arc_ext, (4,), (NBp * 2048,))
             lo3 = lo_flat.astype(_I32).reshape(NBp // BPR, 64, 128)
-            out = call(
+            out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo,
                 phi, suf, lo3, hi3, arc_rows,
-            )
+            ))
         result["out"] = out.reshape(NBp * C.DEFAULT_BLOCK_SIZE)[
             :out_max
         ].astype(_U32)
+        if dig is not None:
+            result["checksum_digest"] = dig
         return result
     if fuse_float is not None:
         if nc_mode == "alias":
             # zero-copy: both nc inputs are a bitcast 3-D view of the rows
             arc3 = arc_rows.reshape(need_rows // 32, 32, 128)
-            out = call(
+            out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
                 suf, arc3, arc3, arc_rows,
-            )
+            ))
         else:
             # nonComp plane rows for the fused join: a pipelined input
             # built by an XLA slice (fallback for odd buffer shapes)
@@ -1056,33 +1180,34 @@ def ans_decode_padded_pallas(
                 arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
             )
             nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
-            out = call(
+            out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
                 suf, nc3, arc_rows,
-            )
+            ))
         result["out"] = out.reshape(NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
             : out_max // 2
         ].astype(_U32)
+        if dig is not None:
+            result["checksum_digest"] = dig
         return result
 
-    out32 = call(
+    out32, dig = _digest(call(
         tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi, suf,
         arc_rows,
-    )
+    ))
 
     out32 = out32.reshape(NBp * S * W // 4)[: out_max // 4].astype(_U32)
+    if verify_checksum:
+        # fused digest: bytes past n are zero in the kernel output, so the
+        # full-buffer XOR equals the length-masked checksum — no extra
+        # HBM pass over the decoded output (was checksum_u32(out32, n))
+        result["checksum_ok"] = ~has_checksum | (dig == stored_checksum)
     if return_u32:
         result["out"] = out32
-        if verify_checksum:
-            actual = checksum_u32(out32, n)
-            result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
         return result
 
     out = layout.u32_to_u8le(out32)
     result["out"] = out
-    if verify_checksum:
-        actual = checksum_u32(out32, n)
-        result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
     return result
 
 
@@ -1174,7 +1299,11 @@ def ans_decode_batched_pallas(
         C.div_up(arc_base_bound + 138 + 34 * NBp, 128) + NBp * (MW // 256)
     )
     if spanning is None:
-        assert F4r >= payload_end_rows + RT + 2 and F4 >= sect_end, (
+        # the last tile's window starts at its first block's stream row, so
+        # it ends <= payload_end_rows + 56 (see the single-archive driver);
+        # earlier members' windows may bleed into the next member's region,
+        # which realign never reads
+        assert F4r >= payload_end_rows + 56 and F4 >= sect_end, (
             "member stride lacks DMA slack: use archive_buffer_bytes_pallas/"
             "float_archive_u32_bytes strides"
         )
@@ -1331,6 +1460,8 @@ def ans_decode_batched_pallas(
     call = _build_decode_call(
         B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True,
         rt_rows=RT, nc_mode=nc_mode,
+        lazy_refill=_os.environ.get("DIETGPU_DECODE_REFILL") == "lazy",
+        act_spec=_os.environ.get("DIETGPU_DECODE_ACTSPEC") == "on",
     )
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float == C.FLOAT_TYPE_FLOAT32:

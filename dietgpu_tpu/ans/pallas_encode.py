@@ -446,6 +446,11 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int,
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
+        # the per-row-tables (batched) variant's extra table windows push
+        # the scoped allocation just past the default 16 MB limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )
 
 
@@ -924,23 +929,29 @@ def ans_encode_batched_pallas(
     )
 
 
-# Tail slack so the DENSE DECODER's fixed-size tile DMA (RT rows per tile,
-# up to 40*128+48 at block_tile=512) plus decoder block-count rounding can
-# always read past the worst-case payload end without leaving the buffer.
-DECODE_DMA_SLACK_ROWS = (40 * 128 + 48) + (10 * 512 + 136) + 192
-
-
 def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
     """Static archive buffer size (512-byte rows, with tile-DMA slack).
 
-    Sized so the payload-region DUS (NBp * 10 + 24 rows at the 8-aligned
-    region start) always fits, including tile padding beyond the real block
-    count, plus DECODE_DMA_SLACK_ROWS so the dense decoder's in-place DMA
-    fast path holds for archives of any compressibility.
+    Sized to the larger of:
+      * the encoder's own needs — the payload-region DUS (NBp * 10 + 24
+        rows at the 8-aligned region start) including encode-tile padding;
+      * the dense DECODER's in-place fast path — its last tile's DMA window
+        ends <= ds32_rows + NBp_dec * 10 + 56 (pallas_decode.dma_end_rows),
+        where NBp_dec <= NB + max(NB // 16, 32) by _pick_tile's padding
+        guarantee for ANY decode block_tile.
+    The slack is therefore derived from the member's actual tile geometry
+    (round 2 added a FIXED worst-case ~5.4 MB per buffer; a 1 MiB member
+    now gets a ~1.2x buffer instead of 6.8x — reference bound
+    GpuANSEncode.cu:13-25 is ~1.3x).
     """
     NB = padded_len // C.DEFAULT_BLOCK_SIZE
     T = max(32, min(block_tile, C.round_up(NB, 32)))
     T = C.round_up(T, 32)
     NBp = C.round_up(NB, T)
     sect_rows = C.div_up(136 + NBp * 34 + 4, 128)
-    return 512 * (sect_rows + NBp * (PAGES // 2) + DECODE_DMA_SLACK_ROWS)
+    encode_rows = C.round_up(sect_rows, 8) + NBp * (PAGES // 2) + 24
+    nbp_dec = max(NBp, NB + max(NB // 16, 32))
+    decode_rows = (
+        C.div_up(138 + 34 * nbp_dec, 128) + nbp_dec * (PAGES // 2) + 128
+    )
+    return 512 * C.round_up(max(encode_rows, decode_rows), 64)

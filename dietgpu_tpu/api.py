@@ -680,19 +680,35 @@ def get_compressed_info_device(
 
 
 def get_compressed_info(compress_as_float: bool, ts_in: Sequence[jax.Array]):
-    """Parse archive headers (host-side). Returns a list of dicts."""
-    infos = []
-    for t in ts_in:
-        buf = np.asarray(jax.device_get(_as_u8(t)))
-        if compress_as_float:
-            info = float_ref.parse_float_header(buf)
-            # the embedded ANS archive self-describes its probBits
-            # (GpuANSUtils.cuh:205-206); surface it so the _simple tier
-            # decodes pb-9/11 float archives without caller hints
-            info["prob_bits"] = ans_ref.parse_header(
-                buf[info["ans_start"] :]
-            )["prob_bits"]
-            infos.append(info)
-        else:
-            infos.append(ans_ref.parse_header(buf))
+    """Parse archive headers (host-side). Returns a list of dicts.
+
+    Only the 32 header bytes of each archive travel device-to-host, in ONE
+    batched sync for the whole batch (two for float archives, whose embedded
+    ANS header sits at a header-dependent offset) — the analogue of the
+    reference's single d2h of the info arrays (DietGpu.cpp:821-911), not a
+    per-member full-archive readback.
+    """
+    bufs = [_as_u8(t).reshape(-1) for t in ts_in]
+    if any(b.size < 32 for b in bufs):
+        raise ValueError("archive too small to hold a header")
+    heads = np.asarray(jax.device_get(jnp.stack([b[:32] for b in bufs])))
+    if not compress_as_float:
+        return [ans_ref.parse_header(h) for h in heads]
+    infos = [float_ref.parse_float_header(h) for h in heads]
+    # the embedded ANS archive self-describes its probBits
+    # (GpuANSUtils.cuh:205-206); surface it so the _simple tier decodes
+    # pb-9/11 float archives without caller hints. Its offset (ans_start)
+    # depends on the float header, hence the second batched fetch.
+    ans_heads = np.asarray(
+        jax.device_get(
+            jnp.stack(
+                [
+                    jax.lax.dynamic_slice(b, (info["ans_start"],), (32,))
+                    for b, info in zip(bufs, infos)
+                ]
+            )
+        )
+    )
+    for info, ah in zip(infos, ans_heads):
+        info["prob_bits"] = ans_ref.parse_header(ah)["prob_bits"]
     return infos

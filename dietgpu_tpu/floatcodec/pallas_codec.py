@@ -164,11 +164,12 @@ def float_decompress_padded_pallas(
     # round trip, no separate join kernel, no XLA tail masks
     with annotate("float.fused_decode_join"):
         res = pdec.ans_decode_padded_pallas(
-            arc, prob_bits, Lw, verify_checksum=False,
+            arc, prob_bits, Lw, verify_checksum=verify_checksum,
             arc_base=ans_off, arc_base_bound=4 + (C.round_up(Lw, 16) >> 2),
-            # T=128 rows: best measured tile under the raised VMEM budget
-            # (v5e sweep: T=80 15.4, T=128 18.1, T=192 17.1 GB/s at 64Mi)
-            fuse_float=float_type, block_tile=512,
+            # T=512 rows: best measured tile (r3 v5e sweep at 64Mi:
+            # T=128 22.10, T=256 22.31, T=512 22.74 GB/s under the raised
+            # VMEM budget; r2's T=192 regression was grid padding)
+            fuse_float=float_type, block_tile=2048,
         )
     pairs = res["out"]
     ans_n = res["size"].astype(_I32)
@@ -182,10 +183,11 @@ def float_decompress_padded_pallas(
         "checksum_ok": jnp.bool_(True),
     }
     if verify_checksum:
-        from ..ans.checksum import checksum_u32
-
-        actual = checksum_u32(pairs, n_eff * 2)
-        result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+        # fused in-kernel digest over the finished float words (tail words
+        # already zero-masked): no extra full-output HBM pass
+        result["checksum_ok"] = ~has_checksum | (
+            res["checksum_digest"] == stored_checksum
+        )
     return result
 
 
@@ -453,9 +455,12 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
     # GpuFloatUtils.cuh:181-203)
     with annotate("float.fused_decode_join_f32"):
         res = pdec.ans_decode_padded_pallas(
-            arc, prob_bits, Lw, verify_checksum=False,
+            arc, prob_bits, Lw, verify_checksum=verify_checksum,
             arc_base=4 + lo_len32 + hi_len32, arc_base_bound=base_bound,
-            fuse_float=C.FLOAT_TYPE_FLOAT32,
+            # T=128: the 3-plane fused kernel's VMEM windows (out
+            # (T,128,128) + lo (T,64,128) + hi (T,32,128), double-buffered)
+            # exceed physical VMEM at the raw-path default T=512
+            fuse_float=C.FLOAT_TYPE_FLOAT32, block_tile=512,
         )
     words = res["out"]
     size_ok = res["size"].astype(_I32) == n_eff
@@ -468,8 +473,8 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
         "checksum_ok": jnp.bool_(True),
     }
     if verify_checksum:
-        from ..ans.checksum import checksum_u32
-
-        actual = checksum_u32(words, n_eff * 4)
-        result["checksum_ok"] = ~has_checksum | (actual == stored_checksum)
+        # fused in-kernel digest (tail words zero-masked): no extra pass
+        result["checksum_ok"] = ~has_checksum | (
+            res["checksum_digest"] == stored_checksum
+        )
     return result
