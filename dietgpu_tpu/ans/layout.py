@@ -41,3 +41,20 @@ def u32_to_u8le(w: jnp.ndarray) -> jnp.ndarray:
     for j in range(4):
         out = out.at[:, j::4].set(((w2 >> (8 * j)) & _U32(0xFF)).astype(jnp.uint8))
     return out.reshape(-1)[: 4 * n]
+
+
+def bitcast_i32(x):
+    """Width-preserving u32->i32 view (free bitcast; `astype` lowers to a
+    full-buffer convert pass on TPU — measured 1.66 vs 0.98 ms per 96 MB)."""
+    if x.dtype == jnp.int32:
+        return x
+    assert x.dtype == _U32
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def bitcast_u32(x):
+    """Width-preserving i32->u32 view (free bitcast; see bitcast_i32)."""
+    if x.dtype == _U32:
+        return x
+    assert x.dtype == jnp.int32
+    return jax.lax.bitcast_convert_type(x, _U32)

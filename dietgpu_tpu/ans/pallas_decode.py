@@ -898,21 +898,18 @@ def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
     # when vmapped over a batch of archives)
     sym = jnp.sum(
         (incl[None, :] <= slots[:, None]).astype(_I32), axis=1
-    ).astype(_U32)
-    sym = jnp.minimum(sym, _U32(C.NUM_SYMBOLS - 1))
-    packed = sym.reshape(-1, 4)
-    symtab = (
-        packed[:, 0]
-        | (packed[:, 1] << 8)
-        | (packed[:, 2] << 16)
-        | (packed[:, 3] << 24)
     )
-    cdf = incl.astype(_U32) - pdf.astype(_U32)
-    pdfcdf = pdf.astype(_U32) | (cdf << 12)
-    return (
-        symtab.astype(_I32).reshape(SR, 128),
-        pdfcdf.astype(_I32).reshape(2, 128),
+    sym = jnp.minimum(sym, _I32(C.NUM_SYMBOLS - 1))
+    # pack 4 syms/u32 with a broadcast-multiply + row reduce: the four
+    # minor-dim-4 column slices this replaces each lower to a strided op
+    # with heavy per-op dispatch cost on TPU (the prologue is tiny-op bound)
+    symtab = jnp.sum(
+        sym.reshape(-1, 4) * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], _I32),
+        axis=1,
     )
+    cdf = incl - pdf.astype(_I32)
+    pdfcdf = pdf.astype(_I32) | (cdf << 12)
+    return symtab.reshape(SR, 128), pdfcdf.reshape(2, 128)
 
 
 def ans_decode_padded_pallas(
@@ -954,7 +951,7 @@ def ans_decode_padded_pallas(
         arc32 = layout.u8_to_u32le(archive)
     else:
         assert archive.dtype in (_U32, jnp.int32)
-        arc32 = archive.astype(_U32)
+        arc32 = layout.bitcast_u32(archive)
     A32 = arc32.shape[0]
     base = jnp.asarray(0 if arc_base is None else arc_base, _I32)
 
@@ -1003,8 +1000,11 @@ def ans_decode_padded_pallas(
     nb_eff = jnp.clip(nb, 0, NB)
 
     pw = jax.lax.dynamic_slice(arc32, (base + 8,), (128,))
-    pdf = jnp.zeros(C.NUM_SYMBOLS, _U32)
-    pdf = pdf.at[0::2].set(pw & _U32(0xFFFF)).at[1::2].set(pw >> _U32(16))
+    # interleave lo/hi halves via stack+reshape (pdf[2i]=lo[i], pdf[2i+1]=
+    # hi[i]); the strided .at[0::2] pair this replaces costs two dispatches
+    pdf = jnp.stack([pw & _U32(0xFFFF), pw >> _U32(16)], axis=1).reshape(
+        C.NUM_SYMBOLS
+    )
     symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
 
     bidx = jnp.arange(NBp, dtype=_I32)
@@ -1021,8 +1021,11 @@ def ans_decode_padded_pallas(
     bw_flat = jax.lax.dynamic_slice(
         arc_ext, (bw_start,), (2 * NBp + 2,)
     )
-    bw_x = jnp.where(live, bw_flat[0:-2:2], _U32(0))
-    bw_y = jnp.where(live, bw_flat[1:-1:2], _U32(0))
+    # deinterleave via reshape + unstack (strided 1-D slices lower to a
+    # slow strided-copy op on TPU; a (NBp,2) minor-dim view reads cheaper)
+    bw2 = bw_flat[: 2 * NBp].reshape(NBp, 2)
+    bw_x = jnp.where(live, bw2[:, 0], _U32(0))
+    bw_y = jnp.where(live, bw2[:, 1], _U32(0))
     uncomp = (bw_x >> _U32(16)).astype(_I32)
     cwords = (bw_x & _U32(0xFFFF)).astype(_I32)
     starts = bw_y.astype(_I32)
@@ -1038,27 +1041,28 @@ def ans_decode_padded_pallas(
     # dense meta: lanes 32g+0..5 of row r = fields of block 4r+g
     # (lanes 4/5 feed the fused join's tail masking: member-local word base
     # and total word count — per-block so one grid can span many archives)
-    meta3 = jnp.zeros((NR, BPR, W), _I32)
-    meta3 = (
-        meta3.at[:, :, 0]
-        .set(uncomp.reshape(NR, BPR))
-        .at[:, :, 2]
-        .set(cwords.reshape(NR, BPR))
-        .at[:, :, 3]
-        .set(off32.reshape(NR, BPR))
-        .at[:, :, 4]
-        .set((bidx * C.DEFAULT_BLOCK_SIZE).reshape(NR, BPR))
-        .at[:, :, 5]
-        .set(jnp.clip(n, 0, out_max))
+    # one stack+pad instead of five chained scatter-updates on the padded
+    # (NR, BPR, 32) layout (each DUS is its own dispatched op; the decode
+    # prologue is tiny-op bound)
+    meta3 = jnp.stack(
+        [
+            uncomp,
+            jnp.zeros_like(uncomp),
+            cwords,
+            off32,
+            bidx * C.DEFAULT_BLOCK_SIZE,
+            jnp.broadcast_to(jnp.clip(n, 0, out_max), uncomp.shape),
+        ],
+        axis=1,
     )
-    meta = meta3.reshape(NR, 128)
+    meta = jnp.pad(meta3, ((0, 0), (0, W - 6))).reshape(NR, 128)
 
     # states is a contiguous section; slice + reshape — dense layout: row r
     # lanes 32g..32g+31 = block 4r+g states
     st_flat = jax.lax.dynamic_slice(arc_ext, (base + 136,), (NBp * W,))
     states = st_flat.reshape(NBp, W)
     states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
-    states128 = states.astype(_I32).reshape(NR, 128)
+    states128 = layout.bitcast_i32(states).reshape(NR, 128)
 
     # tile geometry for the tile-range DMA (in-place on the fast path).
     # Clip BEFORE deriving lrow so the per-block window offsets always agree
@@ -1066,7 +1070,7 @@ def ans_decode_padded_pallas(
     # live blocks, given the dma_end_rows slack guarantee).
     if fast:
         need_rows = A32 // 128
-        arc_rows = arc32.astype(_I32).reshape(need_rows, 128)
+        arc_rows = layout.bitcast_i32(arc32).reshape(need_rows, 128)
     else:
         need_rows = int(C.div_up(A32, 128)) + RT + 1
         if fuse_float in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16):
@@ -1077,7 +1081,7 @@ def ans_decode_padded_pallas(
             # lo-plane aliasing: 64-row slots + straddle slot
             need_rows = C.round_up(max(need_rows, 16 * NBp + 64), 64)
         arc_rows = jnp.zeros((need_rows * 128,), _U32).at[:A32].set(arc32)
-        arc_rows = arc_rows.astype(_I32).reshape(need_rows, 128)
+        arc_rows = layout.bitcast_i32(arc_rows).reshape(need_rows, 128)
     tile_row0 = row0[0 :: BPR * T] & ~7  # 8-row-aligned DMA sources
     tile_row0 = jnp.clip(tile_row0, 0, need_rows - RT)
     lrow = jnp.clip(
@@ -1144,7 +1148,7 @@ def ans_decode_padded_pallas(
         hi_flat = jax.lax.dynamic_slice(
             arc_ext, (4 + lo_len32,), (NBp * 1024,)
         )
-        hi3 = hi_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
+        hi3 = layout.bitcast_i32(hi_flat).reshape(NBp // BPR, 32, 128)
         if nc_mode == "alias":
             # zero-copy lo plane: bitcast 64-row-slot view of the buffer
             arc64 = arc_rows.reshape(need_rows // 64, 64, 128)
@@ -1154,14 +1158,14 @@ def ans_decode_padded_pallas(
             ))
         else:
             lo_flat = jax.lax.dynamic_slice(arc_ext, (4,), (NBp * 2048,))
-            lo3 = lo_flat.astype(_I32).reshape(NBp // BPR, 64, 128)
+            lo3 = layout.bitcast_i32(lo_flat).reshape(NBp // BPR, 64, 128)
             out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo,
                 phi, suf, lo3, hi3, arc_rows,
             ))
-        result["out"] = out.reshape(NBp * C.DEFAULT_BLOCK_SIZE)[
-            :out_max
-        ].astype(_U32)
+        result["out"] = layout.bitcast_u32(out).reshape(
+            NBp * C.DEFAULT_BLOCK_SIZE
+        )[:out_max]
         if dig is not None:
             result["checksum_digest"] = dig
         return result
@@ -1179,14 +1183,14 @@ def ans_decode_padded_pallas(
             nc_flat = jax.lax.dynamic_slice(
                 arc_ext, (4,), (NBp * (C.DEFAULT_BLOCK_SIZE // 4),)
             )
-            nc3 = nc_flat.astype(_I32).reshape(NBp // BPR, 32, 128)
+            nc3 = layout.bitcast_i32(nc_flat).reshape(NBp // BPR, 32, 128)
             out, dig = _digest(call(
                 tile_row0, lrow, meta, states128, symtab, pdfcdf, plo, phi,
                 suf, nc3, arc_rows,
             ))
-        result["out"] = out.reshape(NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
-            : out_max // 2
-        ].astype(_U32)
+        result["out"] = layout.bitcast_u32(out).reshape(
+            NBp * (C.DEFAULT_BLOCK_SIZE // 2)
+        )[: out_max // 2]
         if dig is not None:
             result["checksum_digest"] = dig
         return result
@@ -1196,7 +1200,9 @@ def ans_decode_padded_pallas(
         arc_rows,
     ))
 
-    out32 = out32.reshape(NBp * S * W // 4)[: out_max // 4].astype(_U32)
+    out32 = layout.bitcast_u32(out32).reshape(NBp * S * W // 4)[
+        : out_max // 4
+    ]
     if verify_checksum:
         # fused digest: bytes past n are zero in the kernel output, so the
         # full-buffer XOR equals the length-masked checksum — no extra
@@ -1337,7 +1343,7 @@ def ans_decode_batched_pallas(
         # static_geom every slice start below is a python int, so vmap
         # emits strided slices; otherwise member-dependent starts lower
         # to (slow) gathers — acceptable only for the ragged general case.
-        arc32 = arc32.astype(_U32)
+        arc32 = layout.bitcast_u32(arc32)
         if static_base is not None:
             base = static_base
         h = jax.lax.dynamic_slice(arc32, (base,), (8,))
@@ -1350,10 +1356,9 @@ def ans_decode_batched_pallas(
         nb_eff = jnp.clip(nb, 0, NB)
 
         pw = jax.lax.dynamic_slice(arc32, (base + 8,), (128,))
-        pdf = jnp.zeros(C.NUM_SYMBOLS, _U32)
-        pdf = (
-            pdf.at[0::2].set(pw & _U32(0xFFFF)).at[1::2].set(pw >> _U32(16))
-        )
+        pdf = jnp.stack(
+            [pw & _U32(0xFFFF), pw >> _U32(16)], axis=1
+        ).reshape(C.NUM_SYMBOLS)
         symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
 
         bidx = jnp.arange(NBp, dtype=_I32)
@@ -1370,8 +1375,9 @@ def ans_decode_batched_pallas(
             bw_start = base + 136 + nb_eff * W
             rnb2 = nb_eff + (nb_eff & 1)
         bw_flat = jax.lax.dynamic_slice(arc32, (bw_start,), (2 * NBp + 2,))
-        bw_x = jnp.where(live, bw_flat[0:-2:2], _U32(0))
-        bw_y = jnp.where(live, bw_flat[1:-1:2], _U32(0))
+        bw2 = bw_flat[: 2 * NBp].reshape(NBp, 2)
+        bw_x = jnp.where(live, bw2[:, 0], _U32(0))
+        bw_y = jnp.where(live, bw2[:, 1], _U32(0))
         uncomp = (bw_x >> _U32(16)).astype(_I32)
         cwords = (bw_x & _U32(0xFFFF)).astype(_I32)
         starts = bw_y.astype(_I32)
@@ -1381,25 +1387,23 @@ def ans_decode_batched_pallas(
         row0 = s32 >> 7
         off32 = s32 & 127
 
-        meta3 = jnp.zeros((NR, BPR, W), _I32)
-        meta3 = (
-            meta3.at[:, :, 0]
-            .set(uncomp.reshape(NR, BPR))
-            .at[:, :, 2]
-            .set(cwords.reshape(NR, BPR))
-            .at[:, :, 3]
-            .set(off32.reshape(NR, BPR))
-            .at[:, :, 4]
-            .set((bidx * C.DEFAULT_BLOCK_SIZE).reshape(NR, BPR))
-            .at[:, :, 5]
-            .set(jnp.clip(n, 0, out_max))
+        meta3 = jnp.stack(
+            [
+                uncomp,
+                jnp.zeros_like(uncomp),
+                cwords,
+                off32,
+                bidx * C.DEFAULT_BLOCK_SIZE,
+                jnp.broadcast_to(jnp.clip(n, 0, out_max), uncomp.shape),
+            ],
+            axis=1,
         )
-        meta = meta3.reshape(NR, 128)
+        meta = jnp.pad(meta3, ((0, 0), (0, W - 6))).reshape(NR, 128)
 
         st_flat = jax.lax.dynamic_slice(arc32, (base + 136,), (NBp * W,))
         states = st_flat.reshape(NBp, W)
         states = jnp.where(live[:, None], states, _U32(C.ANS_START_STATE))
-        states128 = states.astype(_I32).reshape(NR, 128)
+        states128 = layout.bitcast_i32(states).reshape(NR, 128)
         return meta, states128, symtab, pdfcdf, row0, success, n
 
     meta, states128, symtab, pdfcdf, row0, success, n = jax.vmap(
@@ -1452,7 +1456,9 @@ def ans_decode_batched_pallas(
         pdfcdf[:, None], (B, NR, 2, 128)
     ).reshape(B * NR, 2, 128)
 
-    arc_rows = archives.astype(_I32).reshape(need_rows, 128)
+    arc_rows = layout.bitcast_i32(archives.reshape(-1)).reshape(
+        need_rows, 128
+    )
     plo_np, phi_np = _pack_matrices()
     plo = jnp.asarray(plo_np, jnp.bfloat16)
     phi = jnp.asarray(phi_np, jnp.bfloat16)
@@ -1476,22 +1482,23 @@ def ans_decode_batched_pallas(
                 lambda a: jax.lax.dynamic_slice(
                     a, (f32_hi_off,), (NBp * 1024,)
                 )
-            )(archives.astype(_I32)).reshape(B * NR, 32, 128)
+            )(layout.bitcast_i32(archives)).reshape(B * NR, 32, 128)
         else:
             hi_offs = 4 + (
                 C.round_up(jnp.clip(n, 0, out_max), 8) >> 1
             ).astype(_I32)
             hi3 = jax.vmap(
                 lambda a, o: jax.lax.dynamic_slice(a, (o,), (NBp * 1024,))
-            )(archives.astype(_I32), hi_offs).reshape(B * NR, 32, 128)
+            )(
+                layout.bitcast_i32(archives), hi_offs
+            ).reshape(B * NR, 32, 128)
         out = call(
             tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
             plo, phi, suf, lo3, hi3, arc_rows,
         )
-        result["out"] = (
-            out.reshape(B, NBp * C.DEFAULT_BLOCK_SIZE)[:, :out_max]
-            .astype(_U32)
-        )
+        result["out"] = layout.bitcast_u32(out).reshape(
+            B, NBp * C.DEFAULT_BLOCK_SIZE
+        )[:, :out_max]
         return result
     if fuse_float is not None:
         if nc_mode == "tilebuf":
@@ -1511,18 +1518,16 @@ def ans_decode_batched_pallas(
                 tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows,
                 plo, phi, suf, nc3, arc_rows,
             )
-        result["out"] = (
-            out.reshape(B, NBp * (C.DEFAULT_BLOCK_SIZE // 2))[
-                :, : out_max // 2
-            ].astype(_U32)
-        )
+        result["out"] = layout.bitcast_u32(out).reshape(
+            B, NBp * (C.DEFAULT_BLOCK_SIZE // 2)
+        )[:, : out_max // 2]
         return result
 
     out32 = call(
         tile_row0, lrow, meta, states128, symtab_rows, pdfcdf_rows, plo, phi,
         suf, arc_rows,
     )
-    result["out"] = (
-        out32.reshape(B, NBp * S * W // 4)[:, : out_max // 4].astype(_U32)
-    )
+    result["out"] = layout.bitcast_u32(out32).reshape(
+        B, NBp * S * W // 4
+    )[:, : out_max // 4]
     return result

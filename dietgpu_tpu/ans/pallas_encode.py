@@ -693,11 +693,11 @@ def _encode_stage2(
     dloc = jnp.clip(p32 // 128 - jnp.repeat(trow, T), 0, RTE - 16)
     drot = p32 & 127
     trow = jnp.clip(trow, 0, XR - RTE)
+    arc_i = layout.bitcast_i32(arc.reshape(XR, 128))
     seed = jax.lax.dynamic_slice(
-        arc.reshape(XR, 128).astype(_I32), (jnp.asarray(prow0, _I32), 0),
-        (8, 128),
+        arc_i, (jnp.asarray(prow0, _I32), 0), (8, 128)
     ) if static_n is None else jax.lax.slice(
-        arc.reshape(XR, 128).astype(_I32), (prow0, 0), (prow0 + 8, 128)
+        arc_i, (prow0, 0), (prow0 + 8, 128)
     )
 
     size = ((ds32 + total_words // 2) * 4).astype(_U32)
@@ -727,12 +727,12 @@ def ans_encode_padded_pallas(
     assert prob_bits in C.SUPPORTED_PROB_BITS
     if data.dtype == jnp.uint8:
         L = data.shape[0]
-        data32 = layout.u8_to_u32le(data).astype(_I32)
+        data32 = layout.bitcast_i32(layout.u8_to_u32le(data))
         data_u8 = data
     else:
         assert data.dtype in (_U32, _I32)
         L = data.shape[0] * 4
-        data32 = data.astype(_I32)
+        data32 = layout.bitcast_i32(data)
         data_u8 = None
     NB = L // C.DEFAULT_BLOCK_SIZE
     assert L % C.DEFAULT_BLOCK_SIZE == 0 and L > 0
@@ -805,9 +805,9 @@ def _encode_finish(
         # in place, section and tail rows pass through — no XLA stitch
         arc_rows = asm(
             trow, srow, dloc, drot, staged, seed,
-            arc.reshape(XR, 128).astype(_I32),
+            layout.bitcast_i32(arc.reshape(XR, 128)),
         )
-    return arc_rows.reshape(-1).astype(_U32), size
+    return layout.bitcast_u32(arc_rows).reshape(-1), size
 
 
 def ans_encode_batched_pallas(
