@@ -130,7 +130,9 @@ def main():
             lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
         )
         decompress = jax.jit(
-            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False)
+            lambda a: pfc.float_decompress_padded_pallas(
+                a, ft, Lw, 10, False, static_length=n
+            )
         )
         out_key = "out32"
     else:

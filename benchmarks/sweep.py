@@ -93,7 +93,7 @@ def main():
                 lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
             )
             decompress = jax.jit(
-                lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False)
+                lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, False, static_length=n)
             )
             arcs = [compress(w)[0] for w in words]
             size = int(compress(words[0])[1])

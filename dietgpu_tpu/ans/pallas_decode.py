@@ -135,6 +135,13 @@ def _decode_kernel(
     with_cksum: bool,
     lazy_refill: bool,
     act_spec: bool,
+    # the driver statically guarantees EVERY block in the grid is full
+    # (out_max == nb * 4096, no grid-padding blocks): the per-step activity
+    # machinery (threshold compare + three act-selects, ~4 of ~60 ops/step)
+    # vanishes for the whole grid. Unlike the ACTSPEC dual-loop experiment
+    # (29% SLOWER — pl.when copies defeat Mosaic scheduling) this is a
+    # trace-time specialization with a single loop body.
+    full_tiles: bool,
     *refs,
 ):
     # fused checksum: a second (8,128) output accumulates the XOR of every
@@ -350,6 +357,7 @@ def _decode_kernel(
     # select masks (one compare per step instead of re-deriving both)
     negu = lane31 - uncomp
     gmask = [gid == gg for gg in range(1, BPR)]
+    g32 = [zeros + 32 * gg for gg in range(BPR)]  # refill broadcast indices
     if nc_mode == "alias":
         # straddle row for the last subrow's lane+4 reads: the tile's rows
         # shifted up by one, closed by the first row past the tile
@@ -362,14 +370,13 @@ def _decode_kernel(
                 [nc_ref[1:, 0, :], ncnxt_ref[:, 0, :]], axis=0
             )
 
-    def one_step(kk, state, pos, wins, baseq, masked):
+    def one_step(kk, state, posw, wins, masked):
         # lanes past the block's symbol count go inactive; the single
         # hoisted-subtract compare covers full steps, the partial tail
         # step, and dead blocks at once (kk is the step index, 32
-        # symbols/step). Tiles whose blocks are ALL full skip the activity
-        # machinery entirely (masked=False): the tile-level fullness test
-        # costs one reduction per grid step, and every step saves the
-        # compare + three act-selects (~7% of the hot loop).
+        # symbols/step). Grids whose blocks are ALL full (full_tiles) skip
+        # the activity machinery entirely (masked=False): every step saves
+        # the compare + three act-selects (~7% of the hot loop).
         act = (negu < -(kk << 5)) if masked else None
 
         s_bar = state & (K - 1)
@@ -386,7 +393,9 @@ def _decode_kernel(
             sym = q & 0xFF
             pv = sym | (sym << 12)
         pdf = pv & 0xFFF
-        cdf = _srl(pv, 12) & 0xFFF
+        # entries are pdf | cdf<<12 with both fields < 2^12 (pb <= 11), so
+        # the shift alone yields cdf — no mask op
+        cdf = _srl(pv, 12)
 
         ns = pdf * _srl(state, prob_bits) + (s_bar - cdf)
         state1 = jnp.where(act, ns, state) if masked else ns
@@ -407,9 +416,14 @@ def _decode_kernel(
             rank = read.astype(_I32)
             cnt = _taa(rank, gbase)
 
-        rj = pos - rank  # u16-word index of each reader (backwards stream)
+        # posw is the u16-word stream position RELATIVE to the window base
+        # (pos - 2*baseq): the per-step window-base subtract of round 2 is
+        # folded into the refill-time rebase. Reading lanes always satisfy
+        # rj >= 0 (their reads land inside the window), so the logical
+        # shift is safe; non-reading lanes' values are select-discarded.
+        rj = posw - rank
         if "read" not in _ABLATE:
-            widx = (_srl(rj, 1) - baseq) & 127
+            widx = _srl(rj, 1) & 127
             v32 = _taa(wins[0], widx)
             for gg in range(1, BPR):
                 v32 = jnp.where(gmask[gg - 1], _taa(wins[gg], widx), v32)
@@ -418,17 +432,18 @@ def _decode_kernel(
             v16 = rj & 0xFFFF
 
         state2 = jnp.where(read, (state1 << 16) | v16, state1)
-        pos = pos - cnt
-        return (jnp.where(act, sym, 0) if masked else sym), state2, pos
+        posw = posw - cnt
+        return (jnp.where(act, sym, 0) if masked else sym), state2, posw
 
     def refill(pos):
         """Per-group 256-u16-word windows covering the next 8 steps' reads.
 
         One union page loop serves all four groups (four separate
-        dynamically-bounded loops drown the scalar core), and each group's
-        (base, hi) pair travels as ONE packed composite word — one lane
-        gather per group instead of two (both values < 2^11: off32 <= 127
-        plus half of MAX_COMP_WORDS_PER_BLOCK = 1280).
+        dynamically-bounded loops drown the scalar core). pos/off32 are
+        group-uniform, so base/hi are too: the union page range comes from
+        two GLOBAL lane reductions (no per-group min/max chains), and each
+        group needs only one broadcast-gather of its base (the round-2
+        composite base|hi packing and its per-group unpacks are gone).
 
         Returns baseq = window base minus the block's off32, so the hot
         read path computes widx with one subtract instead of two."""
@@ -436,21 +451,14 @@ def _decode_kernel(
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
             return (zeros, zeros, zeros, zeros), base - off32
-        cb = base | (hi << 11)
         pgs, lis = [], []
-        lop = None
-        hip = None
         for gg in range(BPR):
-            cbg = _taa(cb, zeros + 32 * gg)
-            bg = cbg & 0x7FF
-            hg = _srl(cbg, 11)
+            bg = _taa(base, g32[gg])
             g0 = bg + lane
             pgs.append(_srl(g0, 7))
             lis.append(g0 & 127)
-            lop = bg if lop is None else jnp.minimum(lop, bg)
-            hip = hg if hip is None else jnp.maximum(hip, hg)
-        lo = jnp.min(lop) >> 7
-        hi_p = jnp.minimum(jnp.max(hip) >> 7, ROWS_PER_BLOCK - 1)
+        lo = jnp.min(base) >> 7
+        hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
 
         def page_body(p, accs):
             return tuple(
@@ -464,7 +472,7 @@ def _decode_kernel(
         return wins, base - off32
 
     def chunk_body(masked, c, carry):
-        state, pos, w0, w1, w2, w3, baseq = carry
+        state, posw, w0, w1, w2, w3, bq2 = carry
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         packs = [None] * (CHUNK // GROUP)
         for m in range(CHUNK // GROUP - 1, -1, -1):
@@ -472,29 +480,37 @@ def _decode_kernel(
             if m % 2 == 1:
                 if lazy_refill:
                     # the window covers u32 words [base, base+128); the next
-                    # 8 steps read u16 indices >= pos - 256, i.e. u32 words
-                    # >= off32 + (pos-256)>>1. Worst-case data consumes the
-                    # whole window in 8 steps, but typical N(0,1) exponent
-                    # streams emit ~5 words/step/block — the window then
-                    # lasts ~5x longer, and the page-loop refill (~16% of
-                    # kernel time when run eagerly) is skipped until any
-                    # live block actually approaches its window base.
-                    need = jnp.any(
-                        (pos > 0) & (((pos - 256) >> 1) < baseq)
-                    )
-                    (w0, w1, w2, w3), baseq = jax.lax.cond(
+                    # 8 steps read u16 indices >= pos - 256. In window-
+                    # relative terms that is simply posw < 256. Worst-case
+                    # data consumes the whole window in 8 steps, but typical
+                    # N(0,1) exponent streams emit ~5 words/step/block — the
+                    # window then lasts ~5x longer, and the page-loop refill
+                    # (~16% of kernel time when run eagerly) is skipped until
+                    # any live block actually approaches its window base.
+                    need = jnp.any((posw < 256) & (posw + bq2 > 0))
+
+                    def _do():
+                        pa = posw + bq2
+                        wins_n, bq = refill(pa)
+                        b2 = bq << 1
+                        return wins_n, b2, pa - b2
+
+                    (w0, w1, w2, w3), bq2, posw = jax.lax.cond(
                         need,
-                        lambda: refill(pos),
-                        lambda: ((w0, w1, w2, w3), baseq),
+                        _do,
+                        lambda: ((w0, w1, w2, w3), bq2, posw),
                     )
                 else:
-                    (w0, w1, w2, w3), baseq = refill(pos)
+                    pa = posw + bq2
+                    (w0, w1, w2, w3), bq = refill(pa)
+                    bq2 = bq << 1
+                    posw = pa - bq2
             wins = (w0, w1, w2, w3)
             syms = [None] * GROUP
             for d in range(GROUP - 1, -1, -1):
                 kk = cc * CHUNK + GROUP * m + d
-                syms[d], state, pos = one_step(
-                    kk, state, pos, wins, baseq, masked
+                syms[d], state, posw = one_step(
+                    kk, state, posw, wins, masked
                 )
             if "pack" in _ABLATE:
                 packs[m] = syms[0]
@@ -636,19 +652,24 @@ def _decode_kernel(
                     jnp.where(widx0 < nn, pair & 0xFFFF, 0),
                 )
                 out_ref[:, 16 * g + 2 * cc + p, :] = pair
-        return state, pos, w0, w1, w2, w3, baseq
+        return state, posw, w0, w1, w2, w3, bq2
 
     init = (
         states_ref[:],
-        cwords,
+        # lazy mode: a huge initial bq2 (with posw shifted to compensate)
+        # forces the first refill's need-check true
+        cwords - (1 << 29) if lazy_refill else cwords,
         zeros,
         zeros,
         zeros,
         zeros,
-        # lazy mode: a huge initial window base forces the first refill
         zeros + (1 << 29) if lazy_refill else zeros,
     )
-    if act_spec:
+    if full_tiles:
+        jax.lax.fori_loop(
+            0, S // CHUNK, functools.partial(chunk_body, False), init
+        )
+    elif act_spec:
         # tiles whose blocks are ALL full run the unmasked loop (one traced
         # copy each; the grid picks per tile) — only the final tile of a
         # member carries a partial/dead block and pays the act machinery
@@ -709,6 +730,7 @@ def _build_decode_call(
     with_cksum: bool = False,
     lazy_refill: bool = False,
     act_spec: bool = False,
+    full_tiles: bool = False,
 ):
     K = 1 << prob_bits
     SR = max(K // 512, 1)
@@ -723,7 +745,7 @@ def _build_decode_call(
 
     kernel = functools.partial(
         _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode,
-        with_cksum, lazy_refill, act_spec,
+        with_cksum, lazy_refill, act_spec, full_tiles,
     )
     if per_row_tables:
         table_specs = [
@@ -922,8 +944,17 @@ def ans_decode_padded_pallas(
     arc_base=None,
     arc_base_bound: int = 0,
     fuse_float=None,
+    static_full: bool = False,
 ):
     """Pallas-backed drop-in for ans_decode_padded (same contract).
+
+    `static_full=True` asserts (statically, from the caller's knowledge of
+    the uncompressed length) that the archive holds EXACTLY out_max bytes in
+    full 4096-byte blocks: the kernel then drops the per-step activity
+    masking for the whole grid (~7% of the hot loop). A lying header cannot
+    read out of bounds — it just fails the `success` flag with garbage
+    output, exactly like the reference's capacity check
+    (GpuANSDecode.cuh:326-340).
 
     With return_u32=True, `out` is the decoded byte stream packed
     little-endian 4 bytes per u32 (shape (out_max//4,)) — the layout the
@@ -1116,6 +1147,9 @@ def ans_decode_padded_pallas(
         with_cksum=verify_checksum,
         lazy_refill=_os.environ.get("DIETGPU_DECODE_REFILL") == "lazy",
         act_spec=_os.environ.get("DIETGPU_DECODE_ACTSPEC") == "on",
+        # every block full AND no grid-padding blocks -> unmasked hot loop
+        full_tiles=static_full and NBp == NB
+        and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
     )
 
     def _digest(call_out):
@@ -1227,6 +1261,7 @@ def ans_decode_batched_pallas(
     fuse_float=None,
     static_nb: int | None = None,
     f32_hi_off: int | None = None,
+    static_full: bool = False,
 ):
     """Decode B independent archives with ONE kernel grid.
 
@@ -1468,6 +1503,9 @@ def ans_decode_batched_pallas(
         rt_rows=RT, nc_mode=nc_mode,
         lazy_refill=_os.environ.get("DIETGPU_DECODE_REFILL") == "lazy",
         act_spec=_os.environ.get("DIETGPU_DECODE_ACTSPEC") == "on",
+        # static member geometry with every block full -> unmasked hot loop
+        full_tiles=static_full and static_geom and NBp == NB
+        and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
     )
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float == C.FLOAT_TYPE_FLOAT32:

@@ -48,13 +48,17 @@ def ans_encode_padded(data, length, prob_bits, use_checksum=False,
 
 
 def ans_decode_padded(archive, prob_bits, out_max, verify_checksum=False,
-                      backend: str | None = None):
+                      backend: str | None = None,
+                      static_length: int | None = None):
     backend = backend or default_backend()
     if backend == "pallas":
         from .ans import pallas_decode
 
         return pallas_decode.ans_decode_padded_pallas(
-            archive, prob_bits, out_max, verify_checksum
+            archive, prob_bits, out_max, verify_checksum,
+            # trace-time full-capacity knowledge -> unmasked hot loop
+            static_full=static_length is not None
+            and static_length == out_max,
         )
     from .ans import decode
 

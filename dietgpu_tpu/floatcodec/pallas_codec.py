@@ -83,7 +83,7 @@ def float_compress_padded_pallas(
 
     with annotate("float.split"):
         exp32, nc32, hist, fused_cks = pf.split_words_pallas(
-            pairs, float_type
+            pairs, float_type, with_cksum=use_checksum
         )
         exp32 = exp32[: Lw // 4].astype(_U32)
         nc32 = nc32[: Lw // 4].astype(_U32)
@@ -130,15 +130,21 @@ def float_decompress_padded_pallas(
     out_max_words: int,
     prob_bits: int = C.DEFAULT_PROB_BITS,
     verify_checksum: bool = False,
+    static_length: int | None = None,
 ):
     """Decompress a float archive (u32 buffer view).
+
+    `static_length` (the caller's trace-time knowledge of the word count)
+    enables the unmasked full-tile hot loop when it fills out_max_words
+    exactly; a mismatching archive fails `success`, never reads OOB.
 
     Returns dict: out32 (u16 word-pairs for f16/bf16; u32 words for f32),
     size u32 (words), success, checksum_ok.
     """
     if float_type == C.FLOAT_TYPE_FLOAT32:
         return _f32_decompress(
-            archive32, out_max_words, prob_bits, verify_checksum
+            archive32, out_max_words, prob_bits, verify_checksum,
+            static_length=static_length,
         )
     assert float_type in (C.FLOAT_TYPE_FLOAT16, C.FLOAT_TYPE_BFLOAT16)
     assert archive32.dtype in (_U32, _I32)
@@ -170,6 +176,7 @@ def float_decompress_padded_pallas(
             # T=128 22.10, T=256 22.31, T=512 22.74 GB/s under the raised
             # VMEM budget; r2's T=192 regression was grid padding)
             fuse_float=float_type, block_tile=2048,
+            static_full=static_length is not None and static_length == Lw,
         )
     pairs = res["out"]
     ans_n = res["size"].astype(_I32)
@@ -229,7 +236,7 @@ def float_compress_batched_pallas(
         valid = jnp.arange(Lw, dtype=_I32) < length
         wz = jnp.where(valid[None, :], words.astype(_U32), _U32(0))
         exp32, lo32, hi32, hist, fused_cks = jax.vmap(
-            pf.split_words_pallas_f32
+            lambda p: pf.split_words_pallas_f32(p, with_cksum=use_checksum)
         )(wz)
         total = pf.split_total_words_f32(Lw)
     else:
@@ -244,7 +251,9 @@ def float_compress_batched_pallas(
             jnp.where(half[None, :], w32 & tailmask, _U32(0)),
         )
         exp32, nc32, hist, fused_cks = jax.vmap(
-            lambda p: pf.split_words_pallas(p, float_type)
+            lambda p: pf.split_words_pallas(
+                p, float_type, with_cksum=use_checksum
+            )
         )(wz)
         total = pf.split_total_words(Lw)
 
@@ -369,6 +378,7 @@ def float_decompress_batched_pallas(
         arc, prob_bits, Lw, arc_base=ans_off, arc_base_bound=base_bound,
         fuse_float=float_type, block_tile=512, static_nb=static_nb,
         f32_hi_off=f32_hi_off,
+        static_full=static_length is not None and min(static_length, Lw) == Lw,
     )
     size_ok = res["size"].astype(_I32) == n_eff
     return {
@@ -388,7 +398,9 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
     valid = jnp.arange(Lw, dtype=_I32) < length
     wz = jnp.where(valid, words.astype(_U32), _U32(0))
 
-    exp32, lo32, hi32, hist, fused_cks = pf.split_words_pallas_f32(wz)
+    exp32, lo32, hi32, hist, fused_cks = pf.split_words_pallas_f32(
+        wz, with_cksum=use_checksum
+    )
     exp32 = exp32[: Lw // 4].astype(_U32)
     total = pf.split_total_words_f32(Lw)
     hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
@@ -427,7 +439,10 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
     return buf, size
 
 
-def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
+def _f32_decompress(
+    archive32, out_max_words, prob_bits, verify_checksum,
+    static_length: int | None = None,
+):
     assert archive32.dtype in (_U32, _I32)
     Lw = out_max_words
     assert Lw % C.DEFAULT_BLOCK_SIZE == 0 and Lw > 0
@@ -461,6 +476,7 @@ def _f32_decompress(archive32, out_max_words, prob_bits, verify_checksum):
             # (T,128,128) + lo (T,64,128) + hi (T,32,128), double-buffered)
             # exceed physical VMEM at the raw-path default T=512
             fuse_float=C.FLOAT_TYPE_FLOAT32, block_tile=512,
+            static_full=static_length is not None and static_length == Lw,
         )
     words = res["out"]
     size_ok = res["size"].astype(_I32) == n_eff

@@ -76,7 +76,8 @@ def _join_word(c, m, float_type: int):
 
 
 def _split_kernel(
-    float_type: int, R: int, in_ref, exp_ref, nc_ref, hist_ref, cks_ref
+    float_type: int, R: int, with_cksum: bool,
+    in_ref, exp_ref, nc_ref, hist_ref, cks_ref,
 ):
     """in (R,128) u32-pairs -> exp/nc (R/2,128) packed bytes + histogram
     + a fused XOR-checksum accumulator (the reference fuses the float
@@ -128,13 +129,16 @@ def _split_kernel(
     c = jnp.concatenate([c0, c1], axis=0)  # (2R,128) exponent bytes
     hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
 
-    cks_ref[:] = cks_ref[:] ^ _xor_slabs(pairs, R)
+    if with_cksum:  # fused checksum costs nothing when unused
+        cks_ref[:] = cks_ref[:] ^ _xor_slabs(pairs, R)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_split_call(RP: int, float_type: int):
+def _build_split_call(RP: int, float_type: int, with_cksum: bool = True):
     grid = RP // SPLIT_TILE
-    kernel = functools.partial(_split_kernel, float_type, SPLIT_TILE)
+    kernel = functools.partial(
+        _split_kernel, float_type, SPLIT_TILE, with_cksum
+    )
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -171,7 +175,9 @@ def split_total_words(Lw: int) -> int:
     return 2 * RP * 128
 
 
-def split_words_pallas(words32: jnp.ndarray, float_type: int):
+def split_words_pallas(
+    words32: jnp.ndarray, float_type: int, with_cksum: bool = True
+):
     """(Lw/2,) u32 word-pairs -> (exp32, nc32, hist256, checksum).
 
     exp32/nc32 are (Lw/4,) u32 (bytes packed little-endian, natural order);
@@ -189,7 +195,7 @@ def split_words_pallas(words32: jnp.ndarray, float_type: int):
     RP = C.round_up(max(RP, SPLIT_TILE), SPLIT_TILE)
     x = jnp.zeros(RP * 128, _I32)
     x = x.at[:n2].set(words32.astype(_I32))
-    call = _build_split_call(RP, float_type)
+    call = _build_split_call(RP, float_type, with_cksum)
     exp32, nc32, hist, cks = call(x.reshape(RP, 128))
     hist256 = fold_hist(hist).astype(_U32)
     return exp32.reshape(-1), nc32.reshape(-1), hist256, _fold_cks(cks)
@@ -275,7 +281,8 @@ def join_words_pallas(exp32: jnp.ndarray, nc32: jnp.ndarray, float_type: int):
 
 
 def _split_kernel_f32(
-    R: int, in_ref, exp_ref, lo_ref, hi_ref, hist_ref, cks_ref
+    R: int, with_cksum: bool,
+    in_ref, exp_ref, lo_ref, hi_ref, hist_ref, cks_ref,
 ):
     """in (R,128) u32 words -> exp (R/4,128), lo (R/2,128), hi (R/4,128),
     plus the fused XOR-checksum accumulator (no extra HBM pass when
@@ -328,14 +335,15 @@ def _split_kernel_f32(
 
     hist_ref[:] = hist_ref[:] + hist_chunk_counts(c).astype(_I32)
 
-    cks_ref[:] = cks_ref[:] ^ _xor_slabs(w, R)
+    if with_cksum:  # fused checksum costs nothing when unused
+        cks_ref[:] = cks_ref[:] ^ _xor_slabs(w, R)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_split_call_f32(RP: int):
+def _build_split_call_f32(RP: int, with_cksum: bool = True):
     T = SPLIT_TILE
     grid = RP // T
-    kernel = functools.partial(_split_kernel_f32, T)
+    kernel = functools.partial(_split_kernel_f32, T, with_cksum)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -364,7 +372,7 @@ def split_total_words_f32(Lw: int) -> int:
     return RP * 128
 
 
-def split_words_pallas_f32(words: jnp.ndarray):
+def split_words_pallas_f32(words: jnp.ndarray, with_cksum: bool = True):
     """(Lw,) u32 f32 words -> (exp32, lo32, hi32, hist256, checksum).
 
     `checksum` is the fused folded 8-bit XOR checksum (u32) of the input
@@ -372,7 +380,7 @@ def split_words_pallas_f32(words: jnp.ndarray):
     Lw = words.shape[0]
     RP = C.round_up(max(C.div_up(Lw, 128), SPLIT_TILE), SPLIT_TILE)
     x = jnp.zeros(RP * 128, _I32).at[:Lw].set(words.astype(_I32))
-    call = _build_split_call_f32(RP)
+    call = _build_split_call_f32(RP, with_cksum)
     exp32, lo32, hi32, hist, cks = call(x.reshape(RP, 128))
     return (
         exp32.reshape(-1),

@@ -74,7 +74,8 @@ def _codec(ft: int, word: int, Lw: int, n_words: int, prob_bits: int, use_pallas
 
         def decompress(buf32):
             r = pallas_codec_mod.float_decompress_padded_pallas(
-                buf32, ft, Lw, prob_bits, False
+                buf32, ft, Lw, prob_bits, False,
+                static_length=n_words if isinstance(n_words, int) else None,
             )
             out32 = r["out32"]
             if word == 2:

@@ -57,7 +57,7 @@ def main():
     times = {}
     for verify in (False, True):
         fn = jax.jit(
-            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, verify)
+            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, verify, static_length=n)
         )
         r = fn(arcs[0])
         assert bool(r["success"]) and bool(r["checksum_ok"])

@@ -70,7 +70,7 @@ def main():
                 os.environ.pop("DIETGPU_DECODE_ACTSPEC", None)
             pdec._build_decode_call.cache_clear()
             fn = jax.jit(
-                lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10)
+                lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, static_length=n)
             )
             t0 = time.time()
             out = np.asarray(fn(arcs[0])["out32"])

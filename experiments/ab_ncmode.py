@@ -78,7 +78,7 @@ def single(ft, name, wordbytes):
             os.environ.pop("DIETGPU_DECODE_NCMODE", None)
         clear_caches()
         fn = jax.jit(
-            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10)
+            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, static_length=n)
         )
         t = timeit(fn, [(a,) for a in arcs])
         outs[mode] = np.asarray(fn(arcs[0])["out32"])

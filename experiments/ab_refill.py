@@ -74,7 +74,7 @@ def main():
             os.environ.pop("DIETGPU_DECODE_REFILL", None)
         clear_caches()
         fn = jax.jit(
-            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10)
+            lambda a: pfc.float_decompress_padded_pallas(a, ft, Lw, 10, static_length=n)
         )
         t = timeit(fn, [(a,) for a in arcs])
         outs[mode] = np.asarray(fn(arcs[0])["out32"])

@@ -259,6 +259,62 @@ def test_pallas_fused_join_interpret(interpret_pallas, rng, ft, n):
 
 
 @pytest.mark.slow
+def test_pallas_full_tiles_interpret(interpret_pallas, rng):
+    """static_length == capacity drops the activity masking (full-tiles
+    kernel variants, both directions): the unmasked hot loops must stay
+    bit-exact vs the masked path — same decoded words, same archive bytes,
+    working fused checksum."""
+    import os as _os
+
+    from dietgpu_tpu.ans import pallas_encode as penc
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    ft = C.FLOAT_TYPE_BFLOAT16
+    n = 32 * C.DEFAULT_BLOCK_SIZE  # NBp == NB for both kernels
+    x = rng.standard_normal(n).astype(np.float32)
+    w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    pairs = jnp.asarray(w.view(np.uint32).copy())
+
+    arc, size = pfc.float_compress_padded_pallas(pairs, n, ft, 10, True)
+    # masked encode must produce a byte-identical archive
+    _os.environ["DIETGPU_ENCODE_FULLTILES"] = "off"
+    penc._build_encode_call.cache_clear()
+    try:
+        arc_m, size_m = pfc.float_compress_padded_pallas(
+            pairs, n, ft, 10, True
+        )
+    finally:
+        del _os.environ["DIETGPU_ENCODE_FULLTILES"]
+        penc._build_encode_call.cache_clear()
+    assert int(size) == int(size_m)
+    assert np.array_equal(np.asarray(arc), np.asarray(arc_m))
+
+    r = pfc.float_decompress_padded_pallas(
+        arc, ft, n, 10, verify_checksum=True, static_length=n
+    )
+    assert bool(r["success"]) and bool(r["checksum_ok"])
+    pairs_out = np.asarray(r["out32"])
+    got = np.zeros(n, np.uint16)
+    got[0::2] = pairs_out & 0xFFFF
+    got[1::2] = pairs_out >> 16
+    assert np.array_equal(got, w)
+
+    # a lying static_length (smaller archive than claimed) must fail
+    # success without crashing
+    n2 = n - C.DEFAULT_BLOCK_SIZE
+    w2 = w.copy()
+    w2[n2:] = 0
+    arc2, _ = pfc.float_compress_padded_pallas(
+        jnp.asarray(w2.view(np.uint32).copy()), n2, ft, 10, False
+    )
+    arc2 = jnp.zeros(arc.shape[0], arc2.dtype).at[: arc2.shape[0]].set(arc2)
+    r2 = pfc.float_decompress_padded_pallas(
+        arc2, ft, n, 10, False, static_length=n
+    )
+    assert not bool(r2["success"])
+
+
+@pytest.mark.slow
 def test_pallas_batched_ans_decode_interpret(interpret_pallas, rng):
     """One-grid multi-archive decode (per-row tables) matches per-member
     decode, with ragged member sizes and per-member probability tables."""
