@@ -267,25 +267,42 @@ def main():
                 "shard_words": shard_words,
                 "methodology": {
                     "weak_scaling_op": "shard_codec_roundtrip(bf16)",
+                    # A single-host virtual CPU mesh cannot score the >=90%
+                    # weak-scaling target AT ALL: the n "devices" share one
+                    # socket, so efficiency_wall is depressed by contention,
+                    # and the aggregate-throughput normalization is unsound
+                    # too because the n=1 run does not saturate the host
+                    # (measured eff_aggregate > 1 at n=2/4 proves the n=1
+                    # ceiling assumption false). On CPU the target metric is
+                    # therefore null and hardware_required is set; consumers
+                    # scoring the target must reject this file. On real
+                    # multi-chip hardware (private HBM/cores per device,
+                    # zero communication in the codec-only op) the target
+                    # applies to efficiency_wall(n) = t(1)/t(n).
                     "efficiency_metric_for_target": (
-                        "efficiency_aggregate" if on_cpu else "efficiency_wall"
+                        None if on_cpu else "efficiency_wall"
                     ),
+                    "hardware_required": on_cpu,
                     "note": (
                         "On a single-host virtual CPU mesh the n devices "
                         "share one socket's cores and memory bandwidth, so "
-                        "per-device wall time necessarily grows ~n even for "
-                        "a perfect program; the contention-normalized "
-                        "ceiling is aggregate host throughput and the "
-                        "weak-scaling score is efficiency_aggregate(n) = "
-                        "(n*shard_bytes/t(n)) / (shard_bytes/t(1)). On real "
-                        "multi-chip hardware each device has private "
-                        "HBM/cores, the codec-only op does zero "
-                        "communication, and the >=90% target applies to "
-                        "efficiency_wall(n) = t(1)/t(n); this file must be "
-                        "regenerated there for that claim. Collective rows "
-                        "(is_weak_scaling_op=false) are scored by "
-                        "speedup_vs_raw instead: their per-device work "
-                        "grows with n by construction (an all-gather "
+                        "efficiency_wall is contention-depressed; and the "
+                        "measured eff_aggregate of >1 at n=2/4 shows the "
+                        "n=1 run does not saturate the host, so aggregate "
+                        "normalization against the n=1 rate is not a valid "
+                        "ceiling either. This CPU artifact is NOT scoreable "
+                        "against the >=90% weak-scaling target "
+                        "(efficiency_metric_for_target=null, "
+                        "hardware_required=true); it documents only that "
+                        "the sharded program runs and the per-row raw "
+                        "measurements. On real multi-chip hardware each "
+                        "device has private HBM/cores, the codec-only op "
+                        "does zero communication, and the >=90% target "
+                        "applies to efficiency_wall(n) = t(1)/t(n); "
+                        "regenerate this file there for that claim. "
+                        "Collective rows (is_weak_scaling_op=false) are "
+                        "scored by speedup_vs_raw instead: their per-device "
+                        "work grows with n by construction (an all-gather "
                         "produces n shards on every device), so flat wall "
                         "time is not a meaningful target for them."
                     ),

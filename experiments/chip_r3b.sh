@@ -16,7 +16,7 @@ print(float(jnp.arange(8.0).sum()))" >/dev/null 2>&1
 step() {
   local name=$1 tmo=$2; shift 2
   local log="$LOGDIR/$name.log"
-  if [ -f "$log" ] && tail -1 "$log" | grep -q DONE; then
+  if [ -f "$log" ] && grep -qx DONE "$log"; then
     echo "== $name: already done, skipping"
     return 0
   fi
