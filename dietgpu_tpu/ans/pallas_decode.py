@@ -124,6 +124,17 @@ def _decode_kernel(
     fuse_ft,  # None for raw byte output; FLOAT_TYPE_* for fused join output
     per_row_tables: bool,
     rt_rows: int,  # tile DMA window rows (>= contiguous payload span)
+    # symbol lookup strategy:
+    #   "two"  — packed 4-syms/u32 slot table + (pdf|cdf<<12) by symbol
+    #            (2 + 2 gathers at pb10)
+    #   "rank" — 8-slots/u32 delta table over NONZERO-symbol ranks + one
+    #            combined (pdf|cdf|sym) entry table by rank (1 + 2 gathers
+    #            at pb10; see build_rank_tables)
+    lut_mode: str,
+    # refill page loop: "pergroup" = 4 gathers + 4 selects per page;
+    # "stacked" = the 4 group streams share ONE (4T, ROWS, 128) scratch so
+    # each page is one (4T,128) gather + select
+    refill_stack: bool,
     # how the fused join obtains its nonComp rows:
     #   "xla"     — a pipelined (T,32,128) input pre-sliced by an XLA pass
     #   "alias"   — pipelined bitcast ALIASES of the archive rows (zero
@@ -277,7 +288,7 @@ def _decode_kernel(
                  dma_sem) = rest
         nc_lo_ref = nc_hi_ref = None
     K = 1 << prob_bits
-    SR = max(K // 512, 1)
+    SR = rank_rows(prob_bits) if lut_mode == "rank" else max(K // 512, 1)
     RT = rt_rows  # DMA row counts must be 8-aligned
 
     i = pl.program_id(0)
@@ -304,12 +315,22 @@ def _decode_kernel(
         arc_ref.at[pl.ds(tile_row0_ref[i], RT), :], tilebuf, dma_sem
     ).wait()
 
-    streams = (st0, st1, st2, st3)
+    # stacked refill: the four group streams live in ONE scratch (st0,
+    # (BPR*T, ROWS, 128), group g's block rows at [g*T, (g+1)*T)) so the
+    # refill page loop gathers all four groups in one (4T,128) op
+    streams = (st0,) if refill_stack else (st0, st1, st2, st3)
 
     def realign(r, _):
         b0 = i * (BPR * T) + BPR * r
         for g in range(BPR):
-            streams[g][r] = tilebuf[pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :]
+            if refill_stack:
+                st0[g * T + r] = tilebuf[
+                    pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :
+                ]
+            else:
+                streams[g][r] = tilebuf[
+                    pl.ds(lrow_ref[b0 + g], ROWS_PER_BLOCK), :
+                ]
         if nc_mode == "tilebuf":
             # the row's 4 blocks are member-local consecutive, so their
             # 32 nonComp rows are contiguous in the window; +1 straddle
@@ -320,7 +341,10 @@ def _decode_kernel(
         jax.lax.fori_loop(0, T, realign, 0, unroll=False)
     else:
         for g in range(BPR):
-            streams[g][0] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
+            if refill_stack:
+                st0[g * T] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
+            else:
+                streams[g][0] = tilebuf[pl.ds(0, ROWS_PER_BLOCK), :]
 
     @pl.when(i + 1 < pl.num_programs(0))
     def _():
@@ -358,6 +382,8 @@ def _decode_kernel(
     negu = lane31 - uncomp
     gmask = [gid == gg for gg in range(1, BPR)]
     g32 = [zeros + 32 * gg for gg in range(BPR)]  # refill broadcast indices
+    if refill_stack:
+        lane4 = jax.lax.broadcasted_iota(_I32, (BPR * T, 128), 1)
     if nc_mode == "alias":
         # straddle row for the last subrow's lane+4 reads: the tile's rows
         # shifted up by one, closed by the first row past the tile
@@ -380,22 +406,50 @@ def _decode_kernel(
         act = (negu < -(kk << 5)) if masked else None
 
         s_bar = state & (K - 1)
-        q = _srl(s_bar, 2)
-        if "lut" not in _ABLATE:
-            g = _taa(symtab[0], q & 127)
-            for r in range(1, SR):
-                g = jnp.where(_srl(q, 7) == r, _taa(symtab[r], q & 127), g)
-            sym = _srl(g, (s_bar & 3) << 3) & 0xFF
-            pv = jnp.where(
-                sym < 128, _taa(pdfcdf[0], sym & 127), _taa(pdfcdf[1], sym & 127)
-            )
+        if lut_mode == "rank":
+            # one delta-table gather -> rank among nonzero symbols, then
+            # the combined (pdf | cdf | sym) entry by rank: 3 gathers/step
+            # at pb10 where the two-level path needs 4 (build_rank_tables)
+            q3 = _srl(s_bar, 3)
+            if "lut" not in _ABLATE:
+                e = _taa(symtab[0], q3 & 127 if SR > 1 else q3)
+                for r in range(1, SR):
+                    e = jnp.where(
+                        _srl(q3, 7) == r, _taa(symtab[r], q3 & 127), e
+                    )
+                rk = (e & 0xFF) + (_srl(e, (s_bar & 7) * 3 + 8) & 7)
+                pv = jnp.where(
+                    rk < 128,
+                    _taa(pdfcdf[0], rk & 127),
+                    _taa(pdfcdf[1], rk & 127),
+                )
+            else:
+                pv = q3 | (q3 << (2 * prob_bits + 1))
+            pdf = pv & ((2 << prob_bits) - 1)
+            cdf = _srl(pv, prob_bits + 1) & (K - 1)
+            # bits above 2pb+9 are zero, so the shift alone yields sym
+            sym = _srl(pv, 2 * prob_bits + 1)
         else:
-            sym = q & 0xFF
-            pv = sym | (sym << 12)
-        pdf = pv & 0xFFF
-        # entries are pdf | cdf<<12 with both fields < 2^12 (pb <= 11), so
-        # the shift alone yields cdf — no mask op
-        cdf = _srl(pv, 12)
+            q = _srl(s_bar, 2)
+            if "lut" not in _ABLATE:
+                g = _taa(symtab[0], q & 127)
+                for r in range(1, SR):
+                    g = jnp.where(
+                        _srl(q, 7) == r, _taa(symtab[r], q & 127), g
+                    )
+                sym = _srl(g, (s_bar & 3) << 3) & 0xFF
+                pv = jnp.where(
+                    sym < 128,
+                    _taa(pdfcdf[0], sym & 127),
+                    _taa(pdfcdf[1], sym & 127),
+                )
+            else:
+                sym = q & 0xFF
+                pv = sym | (sym << 12)
+            pdf = pv & 0xFFF
+            # entries are pdf | cdf<<12 with both fields < 2^12 (pb <= 11),
+            # so the shift alone yields cdf — no mask op
+            cdf = _srl(pv, 12)
 
         ns = pdf * _srl(state, prob_bits) + (s_bar - cdf)
         state1 = jnp.where(act, ns, state) if masked else ns
@@ -451,14 +505,33 @@ def _decode_kernel(
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
             return (zeros, zeros, zeros, zeros), base - off32
+        lo = jnp.min(base) >> 7
+        hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
+
+        if refill_stack:
+            # one (4T,128) gather + select per page instead of four
+            bg4 = jnp.concatenate(
+                [_taa(base, g32[gg]) for gg in range(BPR)], axis=0
+            )
+            g0 = bg4 + lane4
+            pg4 = _srl(g0, 7)
+            li4 = g0 & 127
+
+            def page_body(p, acc):
+                return jnp.where(pg4 == p, _taa(st0[:, p, :], li4), acc)
+
+            w4 = jax.lax.fori_loop(
+                lo, hi_p + 1, page_body, jnp.zeros((BPR * T, 128), _I32)
+            )
+            wins = tuple(w4[g * T : (g + 1) * T] for g in range(BPR))
+            return wins, base - off32
+
         pgs, lis = [], []
         for gg in range(BPR):
             bg = _taa(base, g32[gg])
             g0 = bg + lane
             pgs.append(_srl(g0, 7))
             lis.append(g0 & 127)
-        lo = jnp.min(base) >> 7
-        hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
 
         def page_body(p, accs):
             return tuple(
@@ -731,9 +804,11 @@ def _build_decode_call(
     lazy_refill: bool = False,
     act_spec: bool = False,
     full_tiles: bool = False,
+    lut_mode: str = "two",
+    refill_stack: bool = False,
 ):
     K = 1 << prob_bits
-    SR = max(K // 512, 1)
+    SR = rank_rows(prob_bits) if lut_mode == "rank" else max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
     assert nc_mode == "xla" or fuse_ft is not None, (
@@ -744,7 +819,8 @@ def _build_decode_call(
     ), "tilebuf nonComp exists only for the f16/bf16 fused join"
 
     kernel = functools.partial(
-        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT, nc_mode,
+        _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT,
+        lut_mode, refill_stack, nc_mode,
         with_cksum, lazy_refill, act_spec, full_tiles,
     )
     if per_row_tables:
@@ -850,13 +926,24 @@ def _build_decode_call(
         )
         out_shape = jax.ShapeDtypeStruct((NBp // BPR, 64, 128), _I32)
 
-    scratch = [
-        pltpu.VMEM((RT, 128), _I32),
-        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-        pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
-    ]
+    if refill_stack:
+        # one shared stream scratch (group g at rows [g*T, (g+1)*T)); the
+        # three trailing dummies keep the kernel's scratch arity fixed
+        scratch = [
+            pltpu.VMEM((RT, 128), _I32),
+            pltpu.VMEM((BPR * T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((8, 1, 128), _I32),
+            pltpu.VMEM((8, 1, 128), _I32),
+            pltpu.VMEM((8, 1, 128), _I32),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((RT, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+            pltpu.VMEM((T, ROWS_PER_BLOCK, 128), _I32),
+        ]
     if nc_mode == "tilebuf":
         n_prefetch = 3  # + per-tile-row nonComp window offsets
         scratch.append(pltpu.VMEM((T, 33, 128), _I32))
@@ -932,6 +1019,89 @@ def build_sym_tables(pdf: jnp.ndarray, prob_bits: int):
     cdf = incl - pdf.astype(_I32)
     pdfcdf = pdf.astype(_I32) | (cdf << 12)
     return symtab.reshape(SR, 128), pdfcdf.reshape(2, 128)
+
+
+def rank_rows(prob_bits: int) -> int:
+    """Sublane rows of the rank-mode delta table (8 slots per u32)."""
+    return max((1 << prob_bits) // 8 // 128, 1)
+
+
+def build_rank_tables(pdf: jnp.ndarray, prob_bits: int):
+    """XLA prologue for the rank-mode decode LUT (one gather fewer/step).
+
+    Two tables:
+      * delta table, (2^pb)//8 u32 entries (8 decode slots each): bits 0..7
+        hold rank(8i) — the index AMONG NONZERO-pdf SYMBOLS of the symbol
+        owning slot 8i — and bits 8+3j hold rank(8i+j) - rank(8i). The
+        deltas fit 3 bits because nonzero symbols have strictly increasing
+        inclusive cumsums, so at most j run boundaries fall in (8i, 8i+j]
+        (the raw symbol id does NOT have this property: zero-pdf symbols
+        share cumsums and can make it jump by >7 within a group, which is
+        why the round-2 two-level LUT kept a 4-syms-per-u32 table).
+      * rank-indexed entry table, 256 u32: for the t-th nonzero symbol,
+        pdf | cdf<<(pb+1) | sym<<(2pb+1) — symbol, pdf AND cdf in one
+        value, so the hot loop needs one delta gather + the two-row entry
+        gather instead of the two-level symtab + pdfcdf pair (the
+        reference's one-u32-per-slot LUT, GpuANSDecode.cuh:29-53, needs
+        2^pb entries = 8 gather rows here; this layout keeps the per-slot
+        table at 2^pb/8 entries).
+    """
+    K = 1 << prob_bits
+    DR = rank_rows(prob_bits)
+    pdf_i = pdf.astype(_I32)
+    incl = jnp.cumsum(pdf_i)
+    nz = pdf_i > 0
+    slots = jnp.arange(K, dtype=_I32)
+    # rank(s) = #{nonzero k: incl_k <= s}; comparison matrix, vmap-fast
+    rank = jnp.sum(
+        ((incl[None, :] <= slots[:, None]) & nz[None, :]).astype(_I32),
+        axis=1,
+    )
+    rank = jnp.minimum(rank, _I32(C.NUM_SYMBOLS - 1))
+    r8 = rank.reshape(-1, 8)
+    base = r8[:, 0]
+    shifts = jnp.asarray([8 + 3 * j for j in range(8)], _I32)
+    dtab = base + jnp.sum((r8 - base[:, None]) << shifts[None, :], axis=1)
+    if K // 8 < 128 * DR:  # pb9: 64 live entries in one 128-lane row
+        dtab = jnp.concatenate(
+            [dtab, jnp.zeros(128 * DR - K // 8, _I32)]
+        )
+    # entry table by rank: scatter-free (rank_of_symbol == t) masked sum
+    cdf = incl - pdf_i
+    sym_ids = jnp.arange(C.NUM_SYMBOLS, dtype=_I32)
+    entry = pdf_i | (cdf << (prob_bits + 1)) | (sym_ids << (2 * prob_bits + 1))
+    rk_of_sym = jnp.cumsum(nz.astype(_I32)) - 1
+    t = jnp.arange(C.NUM_SYMBOLS, dtype=_I32)
+    sel = (rk_of_sym[None, :] == t[:, None]) & nz[None, :]
+    etab = jnp.sum(jnp.where(sel, entry[None, :], 0), axis=1)
+    return dtab.reshape(DR, 128), etab.reshape(2, 128)
+
+
+def _lut_mode() -> str:
+    """Decode symbol-lookup strategy (hardware A/B knob).
+
+    "rank" (default): delta-packed rank table + combined entry table — one
+    gather fewer per step at pb10/11 (measured on the v5e, r4 session A:
+    5.37 vs 5.62 ms fused bf16 decode at 64Mi words, +4.6%).
+    "two": the round-2 two-level symtab + pdfcdf pair."""
+    m = _os.environ.get("DIETGPU_DECODE_LUT", "rank")
+    if m not in ("two", "rank"):
+        raise ValueError(f"DIETGPU_DECODE_LUT={m!r} must be 'two' or 'rank'")
+    return m
+
+
+def _refill_stack() -> bool:
+    """Refill page-loop layout (hardware A/B knob): "stacked" shares one
+    (4T, ROWS, 128) stream scratch so each page is one wide gather.
+    Measured a wash on the v5e (5.38 vs 5.37 ms at 64Mi bf16, r4 session
+    A); default stays "pergroup" (simpler scratch layout)."""
+    return _os.environ.get("DIETGPU_DECODE_REFILL2", "pergroup") == "stacked"
+
+
+def _decode_tables(pdf, prob_bits: int, lut_mode: str):
+    if lut_mode == "rank":
+        return build_rank_tables(pdf, prob_bits)
+    return build_sym_tables(pdf, prob_bits)
 
 
 def ans_decode_padded_pallas(
@@ -1036,7 +1206,8 @@ def ans_decode_padded_pallas(
     pdf = jnp.stack([pw & _U32(0xFFFF), pw >> _U32(16)], axis=1).reshape(
         C.NUM_SYMBOLS
     )
-    symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
+    lm = _lut_mode()
+    symtab, pdfcdf = _decode_tables(pdf, prob_bits, lm)
 
     bidx = jnp.arange(NBp, dtype=_I32)
     live = bidx < nb_eff
@@ -1150,6 +1321,7 @@ def ans_decode_padded_pallas(
         # every block full AND no grid-padding blocks -> unmasked hot loop
         full_tiles=static_full and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
+        lut_mode=lm, refill_stack=_refill_stack(),
     )
 
     def _digest(call_out):
@@ -1301,7 +1473,8 @@ def ans_decode_batched_pallas(
     F4r = F4 // 128
     NB = out_max // C.DEFAULT_BLOCK_SIZE
     K = 1 << prob_bits
-    SR = max(K // 512, 1)
+    lm = _lut_mode()
+    SR = rank_rows(prob_bits) if lm == "rank" else max(K // 512, 1)
 
     # Tile choice. Small members would force member-sized (slow) tiles if
     # tiles could not cross member boundaries; instead let a tile span k
@@ -1394,7 +1567,7 @@ def ans_decode_batched_pallas(
         pdf = jnp.stack(
             [pw & _U32(0xFFFF), pw >> _U32(16)], axis=1
         ).reshape(C.NUM_SYMBOLS)
-        symtab, pdfcdf = build_sym_tables(pdf, prob_bits)
+        symtab, pdfcdf = _decode_tables(pdf, prob_bits, lm)
 
         bidx = jnp.arange(NBp, dtype=_I32)
         if static_geom:
@@ -1506,6 +1679,7 @@ def ans_decode_batched_pallas(
         # static member geometry with every block full -> unmasked hot loop
         full_tiles=static_full and static_geom and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
+        lut_mode=lm, refill_stack=_refill_stack(),
     )
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float == C.FLOAT_TYPE_FLOAT32:

@@ -84,6 +84,33 @@ def _divmode() -> str:
     return m
 
 
+def _datamode() -> str:
+    """Input-byte fetch strategy in the encode hot loop (A/B knob).
+
+    "quartet" (default): once per 16-step chunk, rotate the four groups'
+    chunk rows into four quartet rows (lanes 32g.. of quartet q hold words
+    32q..32q+31 of group g) — the per-step fetch is then ONE static-index
+    gather instead of four gathers + three selects. Measured on the v5e
+    (r4 session A): 12.95 vs 13.92 ms full bf16 compress at 64Mi (+7.5%).
+    "perstep": the round-2 per-step 4-gather path."""
+    m = _os.environ.get("DIETGPU_ENCODE_DATAMODE", "quartet")
+    if m not in ("perstep", "quartet"):
+        raise ValueError(
+            f"DIETGPU_ENCODE_DATAMODE={m!r} must be 'perstep' or 'quartet'"
+        )
+    return m
+
+
+def _flushstack() -> bool:
+    """Flush broadcast-gather layout (A/B knob): stacked = the R register
+    composites concatenate into one (R*T,128) so each group's broadcast is
+    ONE static-index gather (4 total) instead of R*4. Measured SLOWER on
+    the v5e (13.25 vs 12.95 ms encode at 64Mi bf16, r4 session A — Mosaic
+    lowers small static-index broadcast-gathers better than the concat +
+    wide-gather pair), so the default is off; knob kept as evidence."""
+    return _os.environ.get("DIETGPU_ENCODE_FLUSHSTACK", "off") == "on"
+
+
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
@@ -139,6 +166,8 @@ def _encode_kernel(
     per_row_tables: bool,
     G: int,  # steps between window flushes (window = G+1 registers)
     divmode: str,  # "magic" umulhi division | "f32" reciprocal+correction
+    datamode: str,  # "perstep" 4-gather fetch | "quartet" chunk-rotated
+    flush_stack: bool,  # stacked flush broadcast-gathers
     # statically guaranteed: every block in the grid is full (length ==
     # NBp * 4096) — the per-step activity compare and its two act-selects
     # vanish for the whole grid (same trick as the decode kernel)
@@ -184,6 +213,11 @@ def _encode_kernel(
     negu = lane31 - uncomp
     gmask = [gid == g for g in range(1, BPR)]
     sbase = {b: gbase + (b - 1) for b in (16, 8, 4, 2, 1)}
+    if datamode == "quartet":
+        gall = [gid == g for g in range(BPR)]
+        # static per-substep fetch indices: lane 32g+j of substep m reads
+        # quartet-row word 32g + 8m + j//4
+        qidx = [gbase + 8 * m + lidx for m in range(4)]
 
     if per_row_tables:
         pcs = [pcs_ref[:, r, :] for r in range(2)]
@@ -200,6 +234,14 @@ def _encode_kernel(
     NWIN = G + 1
     slots = [lane31 + 32 * r for r in range(NWIN)]
     quarter = _srl(lane, 5)
+    if flush_stack:
+        # hoisted static broadcast indices for the stacked flush gathers,
+        # one (R*T,128) constant set per register count (G in-loop, NWIN
+        # for the final partial flush)
+        _stackidx = {}
+        for R_ in {G, NWIN}:
+            laneR = jax.lax.broadcasted_iota(_I32, (R_ * T, 128), 1)
+            _stackidx[R_] = [(laneR & 31) + 32 * g for g in range(BPR)]
 
     # zero-init the staging pages (flushes do read-modify-write ORs)
     for p in range(4 * PAGES):
@@ -247,10 +289,19 @@ def _encode_kernel(
             # whenever any is) bounds the range from below
             mx = jnp.max(pmax) - 1
             lop = jnp.min(jnp.where(pfs[0] > 0, pfs[0] - 1, PAGES))
-            compg = [
-                [_taa(comps[r], lane31 + 32 * g) for r in range(R)]
-                for g in range(BPR)
-            ]
+            if flush_stack and R > 1:
+                # ONE (R*T,128) static-index gather per group broadcasts
+                # all R register composites at once (was R gathers each)
+                cs = jnp.concatenate(comps, axis=0)
+                compg = []
+                for g in range(BPR):
+                    csg = _taa(cs, _stackidx[R][g])
+                    compg.append([csg[r * T : (r + 1) * T] for r in range(R)])
+            else:
+                compg = [
+                    [_taa(comps[r], lane31 + 32 * g) for r in range(R)]
+                    for g in range(BPR)
+                ]
             if partial:
                 flvs = [_taa(fill2, zeros + 32 * g) for g in range(BPR)]
 
@@ -288,10 +339,14 @@ def _encode_kernel(
         act = None if full_tiles else (negu < -(kk << 5))
 
         if "data" not in _ABLATE:
-            idx = lidx + 8 * l
-            d = _taa(loads[0], idx)
-            for g in range(1, BPR):
-                d = jnp.where(gmask[g - 1], _taa(loads[g], idx), d)
+            if datamode == "quartet":
+                # loads holds quartet rows: ONE static-index gather
+                d = _taa(loads[l >> 2], qidx[l & 3])
+            else:
+                idx = lidx + 8 * l
+                d = _taa(loads[0], idx)
+                for g in range(1, BPR):
+                    d = jnp.where(gmask[g - 1], _taa(loads[g], idx), d)
             sym = _srl(d, qsh) & 0xFF
         else:
             sym = lane31 + kk
@@ -379,6 +434,21 @@ def _encode_kernel(
 
     def chunk_body(c, carry):
         loads = [data_ref[:, 8 * g + c, :] for g in range(BPR)]
+        if datamode == "quartet" and "data" not in _ABLATE:
+            # rotate the group rows into quartet rows once per chunk:
+            # quartet q lanes 32g.. = words 32q..32q+31 of group g (12
+            # rolls + masked ORs replace 3 gathers + 3 selects PER STEP)
+            dq = []
+            for q in range(4):
+                acc = None
+                for g in range(BPR):
+                    piece = loads[g]
+                    if (32 * g - 32 * q) % 128:
+                        piece = pltpu.roll(piece, (32 * g - 32 * q) % 128, 1)
+                    piece = jnp.where(gall[g], piece, 0)
+                    acc = piece if acc is None else acc | piece
+                dq.append(acc)
+            loads = dq
         for m in range(CHUNK // G):
             for d in range(G):
                 l = m * G + d
@@ -414,11 +484,13 @@ def _encode_kernel(
 @functools.lru_cache(maxsize=None)
 def _build_encode_call(NBp: int, prob_bits: int, T: int,
                        per_row_tables: bool = False, G: int = 4,
-                       divmode: str = "magic", full_tiles: bool = False):
+                       divmode: str = "magic", full_tiles: bool = False,
+                       datamode: str = "perstep", flush_stack: bool = False):
     assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
     kernel = functools.partial(
-        _encode_kernel, prob_bits, T, per_row_tables, G, divmode, full_tiles
+        _encode_kernel, prob_bits, T, per_row_tables, G, divmode,
+        datamode, flush_stack, full_tiles
     )
     NR = NBp // BPR
     if per_row_tables:
@@ -612,6 +684,7 @@ def _encode_stage1(
     call = _build_encode_call(
         NBp, prob_bits, T // BPR, G=_flush_group(), divmode=dm,
         full_tiles=full_tiles,
+        datamode=_datamode(), flush_stack=_flushstack(),
     )
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
@@ -925,6 +998,7 @@ def ans_encode_batched_pallas(
             G=_flush_group(), divmode=dm,
             full_tiles=static_n == L and NBm == NB
             and _os.environ.get("DIETGPU_ENCODE_FULLTILES") != "off",
+            datamode=_datamode(), flush_stack=_flushstack(),
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre

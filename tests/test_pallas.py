@@ -908,3 +908,68 @@ def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
 
     sharding_mod._sharded_encode.cache_clear()
     sharding_mod._sharded_decode.cache_clear()
+
+
+# ---- round-4 gather-mode knobs -----------------------------------------
+# The DEFAULT arms (decode rank-LUT + stacked refill; encode quartet fetch
+# + stacked flush) are exercised by every test above. These pin the legacy
+# arms and the rank-LUT's adversarial corner (zero-pdf cumsum ties, which
+# is why the table stores NONZERO-symbol ranks — see build_rank_tables).
+
+
+def test_pallas_legacy_gather_modes_interpret(
+    interpret_pallas, rng, monkeypatch
+):
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+    from dietgpu_tpu.ref import ans_ref
+
+    monkeypatch.setenv("DIETGPU_DECODE_LUT", "two")
+    monkeypatch.setenv("DIETGPU_DECODE_REFILL2", "pergroup")
+    monkeypatch.setenv("DIETGPU_ENCODE_DATAMODE", "perstep")
+    monkeypatch.setenv("DIETGPU_ENCODE_FLUSHSTACK", "off")
+    n = C.DEFAULT_BLOCK_SIZE + 1234
+    data = _expo_bytes(rng, n)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    padded = np.zeros(L, np.uint8)
+    padded[:n] = data
+    oracle = ans_ref.ans_encode(data, prob_bits=10)
+    arc, size = penc.ans_encode_padded_pallas(jnp.asarray(padded), n, 10)
+    assert int(size) == oracle.size
+    assert np.array_equal(np.asarray(arc)[: oracle.size], oracle)
+    r = pdec.ans_decode_padded_pallas(jnp.asarray(oracle), 10, L)
+    assert bool(r["success"]) and int(r["size"]) == n
+    assert np.array_equal(np.asarray(r["out"])[:n], data)
+
+
+@pytest.mark.parametrize("pb", [9, 11])
+@pytest.mark.slow
+def test_pallas_rank_lut_pb_interpret(interpret_pallas, rng, pb):
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ref import ans_ref
+
+    n = C.DEFAULT_BLOCK_SIZE + 99
+    data = _expo_bytes(rng, n)
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    oracle = ans_ref.ans_encode(data, prob_bits=pb)
+    r = pdec.ans_decode_padded_pallas(jnp.asarray(oracle), pb, L)
+    assert bool(r["success"]) and int(r["size"]) == n
+    assert np.array_equal(np.asarray(r["out"])[:n], data)
+
+
+def test_pallas_rank_lut_sparse_tables_interpret(interpret_pallas, rng):
+    """Sparse pdfs (most symbols zero) maximize cumsum ties — the case
+    where a raw-symbol delta table would overflow its 3-bit fields."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ref import ans_ref
+
+    n = C.DEFAULT_BLOCK_SIZE + 500
+    L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
+    for data in (
+        np.full(n, 7, np.uint8),  # single-symbol table: pdf[7] = 2^pb
+        rng.choice(np.array([0, 255], np.uint8), size=n),  # two far apart
+    ):
+        oracle = ans_ref.ans_encode(data, prob_bits=10)
+        r = pdec.ans_decode_padded_pallas(jnp.asarray(oracle), 10, L)
+        assert bool(r["success"]) and int(r["size"]) == n
+        assert np.array_equal(np.asarray(r["out"])[:n], data)
