@@ -95,7 +95,10 @@ def main():
         os._exit(1)
 
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
-    mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "64"))
+    # 128Mi words matches the baseline chart point the vs_baseline ratio
+    # is computed against (DietGPU bf16 decode ~490 GB/s at ~100M floats,
+    # BASELINE.md); smaller sizes under-report both systems
+    mwords = int(os.environ.get("DIETGPU_BENCH_MWORDS", "128"))
     # the tunnel's 1-element readback costs ~34 ms FIXED; enough iterations
     # amortize it below the noise floor (chained-dispatch timing otherwise)
     iters = int(os.environ.get("DIETGPU_BENCH_ITERS", "48"))

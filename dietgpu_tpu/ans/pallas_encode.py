@@ -544,46 +544,77 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int,
 
 def _assembly_kernel(
     T: int,
-    trow_ref,  # SMEM (ntiles,) tile's first payload row (absolute)
-    srow_ref,  # SMEM (ntiles,) local index of the rows shared with next tile
-    dloc_ref,  # SMEM (NBp,) block's dst row local to its tile
-    drot_ref,  # SMEM (NBp,) block's u32-lane rotation (multiple of 4)
-    staged_ref,  # VMEM (T, PAGES, 128) zero-extended words
-    seed_ref,  # VMEM (8,128): payload-region head (archive section bytes)
-    arc_in_ref,  # ANY (XR,128): section-prefilled archive, ALIASED to the
-    #              output — payload DMAs land in place, the section and
-    #              tail rows pass through untouched (no XLA stitch pass)
-    arc_ref,  # ANY (XR,128) whole-archive output (aliases arc_in_ref)
-    tilebuf,  # scratch (RTE,128)
-    spill,  # scratch (8,128) persistent across grid steps
-    dma_sem,
+    per_tile_seed: bool,  # batched: each member's FIRST tile reseeds
+    *refs,
 ):
+    if per_tile_seed:
+        (
+            trow_ref,  # SMEM (ntiles,) tile's first payload row (absolute)
+            srow_ref,  # SMEM (ntiles,) local index of rows shared w/ next
+            dloc_ref,  # SMEM (NBp,) block's dst row local to its tile
+            drot_ref,  # SMEM (NBp,) block's u32-lane rotation (x4)
+            mfirst_ref,  # SMEM (ntiles,) 1 if first tile of its member
+            staged_ref,  # VMEM (T, PAGES, 128) zero-extended words
+            seed_ref,  # VMEM (8,128) THIS tile's seed rows (member-first
+            #            tiles only; the rest carry the running spill)
+            arc_in_ref,
+            arc_ref,
+            tilebuf,
+            spill,
+            dma_sem,
+        ) = refs
+    else:
+        (
+            trow_ref,
+            srow_ref,
+            dloc_ref,
+            drot_ref,
+            staged_ref,
+            seed_ref,  # VMEM (8,128): payload-region head (section bytes)
+            arc_in_ref,  # ANY (XR,128): section-prefilled archive, ALIASED
+            #              to the output — payload DMAs land in place, the
+            #              section and tail rows pass through untouched
+            arc_ref,  # ANY (XR,128) whole-archive output (aliases arc_in)
+            tilebuf,  # scratch (RTE,128)
+            spill,  # scratch (8,128) persistent across grid steps
+            dma_sem,
+        ) = refs
+        mfirst_ref = None
     RTE = T * (PAGES // 2) + 24
     i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(_I32, (10, 128), 1)
 
     tilebuf[:] = jnp.zeros((RTE, 128), _I32)
 
-    @pl.when(i == 0)
+    reseed = (mfirst_ref[i] == 1) if per_tile_seed else (i == 0)
+
+    @pl.when(reseed)
     def _():
         spill[:] = seed_ref[:]
 
     tilebuf[0:8, :] = spill[:]  # rows shared with the previous tile
 
+    lane40 = jax.lax.broadcasted_iota(_I32, (BPR * PAGES // 2, 128), 1)
+
     def row_body(rr, _):
+        # pack ALL FOUR blocks' staged pages into u16-pair u32s with ONE
+        # (40,128) static-index gather set — the per-block (10,128) ops
+        # this replaces were issue-bound (tiny shapes, 4x the dispatches)
+        slab = staged_ref[rr]  # (4*PAGES, 128): block g at [g*PAGES, ..)
+        pairs = slab.reshape(BPR * PAGES // 2, 2, 128)
+        even = pairs[:, 0, :]  # (40,128) pages 0,2,.. of each block
+        odd = pairs[:, 1, :]
+        il = (2 * lane40) & 127
+        lo_sel = lane40 < 64
+        w0 = jnp.where(lo_sel, _taa(even, il), _taa(odd, il))
+        w1 = jnp.where(lo_sel, _taa(even, il + 1), _taa(odd, il + 1))
+        packed_all = w0 | (w1 << 16)  # (40,128)
+
         for g in range(BPR):
             b = BPR * rr + g
-            # dense staging: [rr, g*PAGES + p, :] = block 4rr+g page p
-            slab = staged_ref[rr, g * PAGES : (g + 1) * PAGES, :]
-            pairs = slab.reshape(PAGES // 2, 2, 128)
-            even = pairs[:, 0, :]  # (10,128) pages 0,2,..
-            odd = pairs[:, 1, :]
-            il = (2 * lane) & 127
-            lo_sel = lane < 64
-            w0 = jnp.where(lo_sel, _taa(even, il), _taa(odd, il))
-            w1 = jnp.where(lo_sel, _taa(even, il + 1), _taa(odd, il + 1))
-            packed = w0 | (w1 << 16)  # (10,128) u16-pair u32s
-
+            packed = packed_all[
+                g * (PAGES // 2) : (g + 1) * (PAGES // 2)
+            ]  # (10,128)
             rot = drot_ref[i * T + b]
             rolled = pltpu.roll(packed, rot, 1)
             mge = lane >= rot
@@ -606,19 +637,27 @@ def _assembly_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_assembly_call(NBp: int, T: int, XR: int):
+def _build_assembly_call(NBp: int, T: int, XR: int,
+                         per_tile_seed: bool = False):
     grid = NBp // T
     RTE = T * (PAGES // 2) + 24
-    kernel = functools.partial(_assembly_kernel, T)
+    kernel = functools.partial(_assembly_kernel, T, per_tile_seed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5 if per_tile_seed else 4,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
                 (T // BPR, BPR * PAGES, 128), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((8, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            # per_tile_seed: seed block i of an (ntiles*8,128) array;
+            # else one shared (8,128) seed
+            pl.BlockSpec(
+                (8, 128),
+                (lambda i, *_: (i, 0)) if per_tile_seed
+                else (lambda i, *_: (0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -634,8 +673,13 @@ def _build_assembly_call(NBp: int, T: int, XR: int):
         grid_spec=grid_spec,
         # alias index counts the 4 scalar-prefetch operands: 4+2 = the
         # section-prefilled archive input -> output 0 (in-place DMAs)
-        input_output_aliases={6: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={7 if per_tile_seed else 6: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # big stage-1 tiles (DIETGPU_ENCODE_TILE >= 1024 blocks) push
+            # the double-buffered staged window past the 16 MB default
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )
 
 
@@ -702,12 +746,22 @@ def _encode_stage2(
     staged, counts, states_out, uncomp, checksum, pdf, length,
     L: int, NBp: int, T: int, prob_bits: int, use_checksum: bool,
     block_tile: int, static_n: int | None = None,
+    container=None, base32: int = 0,
 ):
     """Traced stage 2: section prefill + payload assembly kernel.
 
     With static_n set (length known at trace time), all section offsets are
     Python ints, so the DUS/slice ops take the fast static-start path.
-    """
+
+    With `container` (a prefilled (F4,) u32 buffer, e.g. the float
+    archive with header + nonComp plane already in place) and `base32`
+    (static u32 word offset of the embedded ANS archive), the sections
+    are DUS'd INTO the container and the assembly kernel's payload DMAs
+    target container rows directly — the float pipeline then never
+    materializes a separate ANS buffer nor pays the full-buffer DUS copy
+    into the container (~1.6 ms of the 64Mi bf16 encode was exactly that
+    glue). The seed/spill rows preserve any container bytes sharing the
+    payload head row (same mechanism that protects the section bytes)."""
     if static_n is not None:
         nb = (static_n + C.DEFAULT_BLOCK_SIZE - 1) // C.DEFAULT_BLOCK_SIZE
     else:
@@ -741,11 +795,18 @@ def _encode_stage2(
     bw_start = 136 + nb * W
     rnb2 = nb + (nb & 1)
     ds32 = bw_start + rnb2 * 2
-    prow0 = (ds32 >> 7) & ~7
 
-    A = archive_buffer_bytes_pallas(L, block_tile)
-    XR = A // 512
-    arc = jnp.zeros(XR * 128, _U32)
+    if container is not None:
+        assert static_n is not None, "container assembly needs static length"
+        assert container.dtype == _U32 and container.shape[0] % 128 == 0
+        arc = container
+        XR = container.shape[0] // 128
+    else:
+        assert base32 == 0
+        A = archive_buffer_bytes_pallas(L, block_tile)
+        XR = A // 512
+        arc = jnp.zeros(XR * 128, _U32)
+    prow0 = ((base32 + ds32) >> 7) & ~7
     header = jnp.array(
         [(C.ANS_MAGIC << 16) | C.ANS_VERSION, 0, 0, 0, 0, 0, 0, 0], _U32
     )
@@ -754,10 +815,12 @@ def _encode_stage2(
     header = header.at[3].set(total_words.astype(_U32))
     header = header.at[4].set(options)
     header = header.at[5].set(checksum)
-    arc = jax.lax.dynamic_update_slice(arc, header, (0,))
+    arc = jax.lax.dynamic_update_slice(arc, header, (base32,))
     probs32 = pdf[0::2] | (pdf[1::2] << _U32(16))
-    arc = jax.lax.dynamic_update_slice(arc, probs32, (8,))
-    arc = jax.lax.dynamic_update_slice(arc, states.reshape(-1), (136,))
+    arc = jax.lax.dynamic_update_slice(arc, probs32, (base32 + 8,))
+    arc = jax.lax.dynamic_update_slice(
+        arc, states.reshape(-1), (base32 + 136,)
+    )
     live = bidx < nb
     bw_x = jnp.where(
         live, (uncomp.astype(_U32) << 16) | words.astype(_U32), _U32(0)
@@ -766,17 +829,19 @@ def _encode_stage2(
     bw = jnp.zeros((NBp + 2, 2), _U32)
     bw = bw.at[:NBp, 0].set(bw_x).at[:NBp, 1].set(bw_y)
     arc = jax.lax.dynamic_update_slice(
-        arc, bw.reshape(-1), (jnp.asarray(bw_start, _I32),)
+        arc, bw.reshape(-1), (jnp.asarray(base32 + bw_start, _I32),)
     )
 
     # ---- payload via the assembly kernel (absolute-row DMA targets:
     # the kernel writes IN PLACE into the section-prefilled archive) ----
-    p32 = ds32 + (prefix[:NBp] >> 1)
+    p32 = base32 + ds32 + (prefix[:NBp] >> 1)
     trow = (p32[0::T] >> 7) & ~7
     trow_next = jnp.concatenate(
         [
             trow[1:],
-            jnp.full(1, ((ds32 + total_words // 2) >> 7) & ~7, _I32),
+            jnp.full(
+                1, ((base32 + ds32 + total_words // 2) >> 7) & ~7, _I32
+            ),
         ]
     )
     RTE = T * (PAGES // 2) + 24
@@ -804,8 +869,10 @@ def ans_encode_padded_pallas(
     use_checksum: bool = False,
     precomputed_histogram=None,
     precomputed_pdf=None,
-    block_tile: int = 256,
+    block_tile: int | None = None,
     return_u32: bool = False,
+    container=None,
+    container_base: int = 0,
 ):
     """Pallas-backed drop-in for ans_encode_padded (same archive contract).
 
@@ -816,6 +883,8 @@ def ans_encode_padded_pallas(
     whose little-endian byte view is the archive.
     """
     assert prob_bits in C.SUPPORTED_PROB_BITS
+    if block_tile is None:
+        block_tile = _encode_tile()
     if data.dtype == jnp.uint8:
         L = data.shape[0]
         data32 = layout.bitcast_i32(layout.u8_to_u32le(data))
@@ -870,6 +939,7 @@ def ans_encode_padded_pallas(
         staged, counts, states_out, uncomp, checksum, pdf, length,
         L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
         block_tile=block_tile, static_n=static_n,
+        container=container, base32=container_base,
     )
     if return_u32:
         return arc32, size
@@ -880,21 +950,25 @@ def _encode_finish(
     staged, counts, states_out, uncomp, checksum, pdf, length,
     L: int, NBp: int, T: int, prob_bits: int, use_checksum: bool,
     block_tile: int, static_n: int | None,
+    container=None, base32: int = 0,
 ):
     """Stage 2 (section prefill) + payload assembly + archive stitch.
 
     Shared by the single-archive driver and the batched driver (where it is
     vmapped per member over the batched stage-1 kernel's per-member slices;
     with static_n all offsets are python ints, so the vmapped DUS/slices
-    stay strided instead of lowering to gathers)."""
+    stay strided instead of lowering to gathers). With container/base32
+    the whole archive assembles in place inside the caller's prefilled
+    buffer (see _encode_stage2)."""
     with annotate("ans.sections"):
         arc, trow, srow, dloc, drot, seed, prow0, size = _encode_stage2(
             staged, counts, states_out, uncomp, checksum, pdf, length,
             L=L, NBp=NBp, T=T, prob_bits=prob_bits, use_checksum=use_checksum,
             block_tile=block_tile, static_n=static_n,
+            container=container, base32=base32,
         )
     with annotate("ans.assembly"):
-        XR = archive_buffer_bytes_pallas(L, block_tile) // 512
+        XR = arc.shape[0] // 128
         asm = _build_assembly_call(NBp, T, XR)
         # the archive input is ALIASED to the output: payload tiles DMA
         # in place, section and tail rows pass through — no XLA stitch
@@ -913,6 +987,8 @@ def ans_encode_batched_pallas(
     use_checksum: bool = False,
     block_tile: int = 256,
     tile_rows: int = 128,
+    containers=None,
+    container_base: int = 0,
 ):
     """Encode B independent archives with ONE stage-1 kernel grid.
 
@@ -1010,6 +1086,78 @@ def ans_encode_batched_pallas(
         else jnp.zeros(B, _U32)
     )
 
+    # Cross-member single-grid assembly (DIETGPU_ENCODE_BATCHASM=global):
+    # per-member SECTION prefill + ONE assembly grid spanning every
+    # member, each member-first tile reseeding the boundary-row spill
+    # from its own container rows. Hypothesis was that the B vmapped
+    # per-member grids paid ~30 us launch overhead each; MEASURED SLOWER
+    # on the v5e (16.6 vs 13.6 ms batched 128x512Ki compress, r4) — the
+    # serialized global grid's per-step tilebuf zero + ordered DMA waits
+    # cost more than the vmapped launches. Kept as evidence; the vmapped
+    # path is the default. (containers= still uses the global path: the
+    # vmapped finish cannot target per-member container offsets.)
+    use_global = (
+        _os.environ.get("DIETGPU_ENCODE_BATCHASM") == "global"
+        or containers is not None
+    )
+    if static_n is not None and use_global:
+        if containers is None:
+            A4 = archive_buffer_bytes_pallas(L, block_tile) // 4
+            containers = jnp.zeros((B, A4), _U32)
+            base32 = 0
+        else:
+            assert containers.shape[0] == B and containers.dtype == _U32
+            base32 = container_base
+
+        def stage2_m(st, cnt, sts, unc, ck, pdf, ln, cont):
+            arc, trow, srow, dloc, drot, seed, _p, size = _encode_stage2(
+                st, cnt, sts, unc, ck, pdf, ln,
+                L=L, NBp=NBm, T=T_asm, prob_bits=prob_bits,
+                use_checksum=use_checksum, block_tile=block_tile,
+                static_n=static_n, container=cont, base32=base32,
+            )
+            return arc, trow, srow, dloc, drot, seed, size
+
+        with annotate("ans.sections_batched"):
+            arcs, trow_m, srow_m, dloc_m, drot_m, seed_m, sizes = jax.vmap(
+                stage2_m
+            )(
+                staged.reshape(B, NR_m, BPR * PAGES, 128),
+                counts.reshape(B, NR_m, 128),
+                states_out.reshape(B, NR_m, 128),
+                uncomp,
+                checksums,
+                pdfs,
+                lengths,
+                containers,
+            )
+        F4 = arcs.shape[1]
+        F4r = F4 // 128
+        tpm = NBm // T_asm
+        RTE = T_asm * (PAGES // 2) + 24
+        assert F4r >= RTE, "member stride shorter than an assembly tile"
+        moff = jnp.arange(B, dtype=_I32) * F4r
+        trow_g = (trow_m + moff[:, None]).reshape(-1)
+        mfirst = jnp.tile(
+            jnp.concatenate(
+                [jnp.ones(1, _I32), jnp.zeros(max(tpm - 1, 0), _I32)]
+            ),
+            B,
+        )
+        seeds = (
+            jnp.zeros((B, tpm, 8, 128), _I32).at[:, 0].set(seed_m)
+        ).reshape(B * tpm * 8, 128)
+        with annotate("ans.assembly_batched"):
+            asm = _build_assembly_call(
+                B * NBm, T_asm, B * F4r, per_tile_seed=True
+            )
+            arc_rows = asm(
+                trow_g, srow_m.reshape(-1), dloc_m.reshape(-1),
+                drot_m.reshape(-1), mfirst, staged, seeds,
+                layout.bitcast_i32(arcs.reshape(B * F4r, 128)),
+            )
+        return layout.bitcast_u32(arc_rows).reshape(B, F4), sizes
+
     finish = functools.partial(
         _encode_finish,
         L=L, NBp=NBm, T=T_asm,
@@ -1027,7 +1175,19 @@ def ans_encode_batched_pallas(
     )
 
 
-def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
+def _encode_tile() -> int:
+    """Stage-1 blocks per grid step (hardware sweep knob; 4 blocks per
+    sublane row, so 256 blocks = 64 rows). The archive-buffer geometry
+    derives from the same value, so every sizing caller must agree —
+    hence one env-overridable default. v5e sweep (r4 session D/E, 64Mi
+    bf16 full compress): 256 -> 12.94 ms, 512 -> 12.43, 1024 -> 12.44;
+    512 is the default."""
+    return int(_os.environ.get("DIETGPU_ENCODE_TILE", "512"))
+
+
+def archive_buffer_bytes_pallas(
+    padded_len: int, block_tile: int | None = None
+) -> int:
     """Static archive buffer size (512-byte rows, with tile-DMA slack).
 
     Sized to the larger of:
@@ -1042,6 +1202,8 @@ def archive_buffer_bytes_pallas(padded_len: int, block_tile: int = 256) -> int:
     now gets a ~1.2x buffer instead of 6.8x — reference bound
     GpuANSEncode.cu:13-25 is ~1.3x).
     """
+    if block_tile is None:
+        block_tile = _encode_tile()
     NB = padded_len // C.DEFAULT_BLOCK_SIZE
     T = max(32, min(block_tile, C.round_up(NB, 32)))
     T = C.round_up(T, 32)

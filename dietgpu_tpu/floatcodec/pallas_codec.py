@@ -34,11 +34,25 @@ def float_archive_u32_bytes(float_type: int, padded_words: int) -> int:
     buffer as (rows, 128) u32 without a padding copy AND bitcast it to
     (rows/32, 32, 128) / (rows/64, 64, 128) views for the zero-copy
     inline-nonComp fused joins (f16/bf16 nc rows; f32 lo-plane rows).
+
+    Also bounded below by the BATCHED fused decoder's needs: it pads each
+    member to >= 32 blocks (4 blocks/sublane row x 8-row minimum tiles)
+    and slices NBp padded blocks' worth of nonComp plane from each member
+    region (ans_decode_batched_pallas asserts this bound), so small
+    buffers must carry that slack — the round-3 tile-geometry slack
+    shrink briefly violated it for sub-128KiB f32 members.
     """
+    nb = max(padded_words // C.DEFAULT_BLOCK_SIZE, 1)
+    nbp = C.round_up(nb, 32)
+    per_block_nc = 12288 if float_type == C.FLOAT_TYPE_FLOAT32 else 4096
+    batched_min = C.FLOAT_HEADER_BYTES + per_block_nc * nbp
     return C.round_up(
-        C.FLOAT_HEADER_BYTES
-        + C.float_noncomp_bytes(float_type, padded_words)
-        + penc.archive_buffer_bytes_pallas(padded_words),
+        max(
+            C.FLOAT_HEADER_BYTES
+            + C.float_noncomp_bytes(float_type, padded_words)
+            + penc.archive_buffer_bytes_pallas(padded_words),
+            batched_min,
+        ),
         32768,
     )
 
@@ -94,12 +108,6 @@ def float_compress_padded_pallas(
         hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
         pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
-    with annotate("float.ans_encode"):
-        ans_arc32, ans_size = penc.ans_encode_padded_pallas(
-            exp32, static_n if static_n is not None else length, prob_bits,
-            use_checksum=False, precomputed_pdf=pdf, return_u32=True,
-        )
-
     # checksum is fused into the split kernel (zero-padded tail words XOR
     # to identity, so the padded accumulator equals the exact-length one)
     checksum = fused_cks if use_checksum else _U32(0)
@@ -116,6 +124,24 @@ def float_compress_padded_pallas(
         static_n if static_n is not None else length, 16
     ) >> 2
     buf = jax.lax.dynamic_update_slice(buf, nc32, (4,))
+    if static_n is not None:
+        # static geometry: the embedded ANS archive assembles IN PLACE in
+        # the container (sections DUS'd at ans_off, payload tiles DMA'd by
+        # the assembly kernel) — no separate ANS buffer, no full-buffer
+        # DUS stitch (~1.6 ms of the 64Mi bf16 encode was that glue)
+        with annotate("float.ans_encode"):
+            buf, ans_size = penc.ans_encode_padded_pallas(
+                exp32, static_n, prob_bits,
+                use_checksum=False, precomputed_pdf=pdf, return_u32=True,
+                container=buf, container_base=4 + plane32,
+            )
+        size = _U32(16) + jnp.asarray(plane32 * 4, _U32) + ans_size
+        return buf, size
+    with annotate("float.ans_encode"):
+        ans_arc32, ans_size = penc.ans_encode_padded_pallas(
+            exp32, length, prob_bits,
+            use_checksum=False, precomputed_pdf=pdf, return_u32=True,
+        )
     ans_off = 4 + plane32
     buf = jax.lax.dynamic_update_slice(
         buf, ans_arc32, (jnp.asarray(ans_off, _I32),)
@@ -263,10 +289,6 @@ def float_compress_batched_pallas(
         lambda h: stats.normalize_probs(h, _U32(length), prob_bits)
     )(hist)
 
-    ans_arcs, ans_sizes = penc.ans_encode_batched_pallas(
-        exp32, length, pdfs, prob_bits, use_checksum=False,
-    )
-
     # checksums are fused into the split kernels (zero tail words XOR to
     # identity, so the padded accumulator equals the exact-length one)
     checksums = fused_cks if use_checksum else jnp.zeros(B, _U32)
@@ -274,6 +296,16 @@ def float_compress_batched_pallas(
     F4 = float_archive_u32_bytes(float_type, Lw) // 4
     opt = _U32((float_type & 0xF) | (int(use_checksum) << 4))
 
+    # Per-member ANS buffers + a vmapped stitch DUS into the containers.
+    # The alternative (prefill containers, then assemble the embedded
+    # archives in place via the cross-member global assembly grid —
+    # DIETGPU_ENCODE_BATCHASM=global) measured SLOWER on the v5e (16.6 vs
+    # 13.6 ms on 128x512Ki bf16): XLA already elides most of the stitch
+    # through buffer aliasing, and the global grid's serialized per-step
+    # costs exceed the vmapped per-member launches.
+    ans_arcs, ans_sizes = penc.ans_encode_batched_pallas(
+        exp32, length, pdfs, prob_bits, use_checksum=False,
+    )
     if is_f32:
         lo_len32 = C.round_up(length, 8) >> 1
         hi_len32 = C.round_up(length, 16) >> 2
@@ -376,7 +408,13 @@ def float_decompress_batched_pallas(
     )
     res = pdec.ans_decode_batched_pallas(
         arc, prob_bits, Lw, arc_base=ans_off, arc_base_bound=base_bound,
-        fuse_float=float_type, block_tile=512, static_nb=static_nb,
+        # f16/bf16 spanning tiles may grow to T=256 rows (the 12 MB
+        # tilebuf budget check in the driver still bounds the DMA
+        # window): small members at T=128 were issue-bound — the realign
+        # copy loop and per-step fixed costs run per sublane row. f32's
+        # 3-plane fused kernel stays at 512 blocks (VMEM pressure).
+        fuse_float=float_type, block_tile=512 if is_f32 else 1024,
+        static_nb=static_nb,
         f32_hi_off=f32_hi_off,
         static_full=static_length is not None and min(static_length, Lw) == Lw,
     )
@@ -406,11 +444,6 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
     hist = hist.at[0].add(-(jnp.asarray(total, _U32) - length.astype(_U32)))
     pdf = stats.normalize_probs(hist, length.astype(_U32), prob_bits)
 
-    ans_arc32, ans_size = penc.ans_encode_padded_pallas(
-        exp32, n_s, prob_bits, use_checksum=False, precomputed_pdf=pdf,
-        return_u32=True,
-    )
-
     # checksum fused into the split kernel (zero tail words are XOR-inert)
     checksum = fused_cks if use_checksum else _U32(0)
 
@@ -432,9 +465,21 @@ def _f32_compress(words, length, static_n, prob_bits, use_checksum):
         buf, hi32[: Lw // 4].astype(_U32), (jnp.asarray(hi_off, _I32),)
     )
     ans_off = hi_off + hi_len32
-    buf = jax.lax.dynamic_update_slice(
-        buf, ans_arc32, (jnp.asarray(ans_off, _I32),)
-    )
+    if static_n is not None:
+        # in-place embedded-ANS assembly (see the f16/bf16 path)
+        buf, ans_size = penc.ans_encode_padded_pallas(
+            exp32, static_n, prob_bits, use_checksum=False,
+            precomputed_pdf=pdf, return_u32=True,
+            container=buf, container_base=ans_off,
+        )
+    else:
+        ans_arc32, ans_size = penc.ans_encode_padded_pallas(
+            exp32, length, prob_bits, use_checksum=False,
+            precomputed_pdf=pdf, return_u32=True,
+        )
+        buf = jax.lax.dynamic_update_slice(
+            buf, ans_arc32, (jnp.asarray(ans_off, _I32),)
+        )
     size = _U32(16) + jnp.asarray((lo_len32 + hi_len32) * 4, _U32) + ans_size
     return buf, size
 

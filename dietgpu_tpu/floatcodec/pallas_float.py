@@ -16,6 +16,7 @@ strided slices run ~1000x too slowly on TPU). The histogram uses the
 """
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,11 @@ from ..ans.pallas_hist import fold_hist, hist_chunk_counts
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-SPLIT_TILE = 256  # input u32-pair rows per grid step
+# input u32-pair rows per grid step (hardware sweep knob; read at import —
+# A/B arms need separate processes). v5e sweep (r4, 64Mi bf16 split):
+# 256 -> 3.26 ms, 512 -> 3.18, 1024 -> 3.09; small inputs sit at the
+# dispatch floor either way.
+SPLIT_TILE = int(_os.environ.get("DIETGPU_SPLIT_TILE", "1024"))
 
 
 def _taa(tab, idx):

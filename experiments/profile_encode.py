@@ -74,21 +74,48 @@ def stage2_fn(staged, counts, states_out, uncomp, pdf):
     return arc_rows[0, 0], size
 
 
+def ans_full_fn(exp32, pdf):
+    # the complete embedded-ANS encode (stage1 + stage2 + assembly)
+    return penc.ans_encode_padded_pallas(
+        exp32.astype(jnp.uint32), n, 10, use_checksum=False,
+        precomputed_pdf=pdf, return_u32=True,
+    )
+
+
+def container_fn(nc32, ans_arc32, ans_size):
+    # the float-container glue the phase split was missing: zeros(F4) +
+    # header/nc/ans DUS passes (float_compress_padded_pallas tail)
+    F4 = pfc.float_archive_u32_bytes(ft, Lw) // 4
+    header = jnp.array(
+        [(C.FLOAT_MAGIC << 16) | C.FLOAT_VERSION, n, ft, 0], jnp.uint32
+    )
+    buf = jnp.zeros(F4, jnp.uint32)
+    buf = jax.lax.dynamic_update_slice(buf, header, (0,))
+    plane32 = C.round_up(n, 16) >> 2
+    buf = jax.lax.dynamic_update_slice(buf, nc32.astype(jnp.uint32), (4,))
+    buf = jax.lax.dynamic_update_slice(buf, ans_arc32, (4 + plane32,))
+    return buf[0], jnp.uint32(16 + plane32 * 4) + ans_size
+
+
 jf_split = jax.jit(split_fn)
 jf_norm = jax.jit(norm_fn)
 jf_stage1 = jax.jit(stage1_fn)
 jf_stage2 = jax.jit(stage2_fn)
+jf_ansfull = jax.jit(ans_full_fn)
+jf_container = jax.jit(container_fn)
 jf_full = jax.jit(lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False))
 
 # prepare intermediates
-exps, hists, pdfs, st1s = [], [], [], []
+exps, ncs, hists, pdfs, st1s, ansouts = [], [], [], [], [], []
 for k in range(K):
     e, nc, h = jf_split(words[k])
     exps.append(e)
+    ncs.append(nc)
     hists.append(h)
     p = jf_norm(h)
     pdfs.append(p)
     st1s.append(jf_stage1(e, p))
+    ansouts.append(jf_ansfull(e, p))
 
 
 def timeit(fn, arglists):
@@ -112,6 +139,10 @@ cases = [
     ("stage2+asm", jf_stage2, [
         (st1s[k][0], st1s[k][1], st1s[k][2], st1s[k][3], pdfs[k])
         for k in range(K)
+    ]),
+    ("ans_full", jf_ansfull, list(zip(exps, pdfs))),
+    ("container", jf_container, [
+        (ncs[k], ansouts[k][0], ansouts[k][1]) for k in range(K)
     ]),
 ]
 for name, fn, arglist in cases:

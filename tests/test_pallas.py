@@ -973,3 +973,26 @@ def test_pallas_rank_lut_sparse_tables_interpret(interpret_pallas, rng):
         r = pdec.ans_decode_padded_pallas(jnp.asarray(oracle), 10, L)
         assert bool(r["success"]) and int(r["size"]) == n
         assert np.array_equal(np.asarray(r["out"])[:n], data)
+
+
+@pytest.mark.slow
+def test_pallas_batched_global_assembly_interpret(
+    interpret_pallas, rng, monkeypatch
+):
+    """DIETGPU_ENCODE_BATCHASM=global: one cross-member assembly grid with
+    per-member seed rows (measured slower on v5e; kept as evidence) must
+    stay byte-identical to the vmapped per-member default."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    B = 3
+    Lw = 2 * C.DEFAULT_BLOCK_SIZE
+    ln = Lw - 777
+    x = rng.standard_normal((B, Lw)).astype(np.float32)
+    w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    w[:, ln:] = 0
+    wj = jnp.asarray(np.ascontiguousarray(w).view(np.uint32))
+    base, base_sz = pfc.float_compress_batched_pallas(wj, ln, 2, 10, False)
+    monkeypatch.setenv("DIETGPU_ENCODE_BATCHASM", "global")
+    glob, glob_sz = pfc.float_compress_batched_pallas(wj, ln, 2, 10, False)
+    assert np.array_equal(np.asarray(base_sz), np.asarray(glob_sz))
+    assert np.array_equal(np.asarray(base), np.asarray(glob))
