@@ -186,6 +186,12 @@ def float_decompress_padded_pallas(
     has_checksum = (options & _U32(0x10)) != 0
     stored_checksum = h[3]
     capacity_ok = n <= Lw
+    if static_length is not None:
+        # the caller's trace-time word count is a CONTRACT: an archive
+        # whose header disagrees must fail success (it may have been
+        # decoded with the unmasked full-tile loop, whose dead-block
+        # rows are garbage) — mirrors the batched driver's check
+        capacity_ok = capacity_ok & (n == min(static_length, Lw))
     n_eff = jnp.clip(n, 0, Lw)
 
     plane32 = C.round_up(n_eff, 16) >> 2
@@ -501,6 +507,9 @@ def _f32_decompress(
     has_checksum = (options & _U32(0x10)) != 0
     stored_checksum = h[3]
     capacity_ok = n <= Lw
+    if static_length is not None:
+        # trace-time word-count contract (see the f16/bf16 driver)
+        capacity_ok = capacity_ok & (n == min(static_length, Lw))
     n_eff = jnp.clip(n, 0, Lw)
 
     lo_len32 = C.round_up(n_eff, 8) >> 1
