@@ -194,6 +194,14 @@ def main():
     comp_gbps = raw_bytes / t_comp / 1e9
     decomp_gbps = raw_bytes / t_decomp / 1e9
 
+    # measured local HBM streaming bandwidth (read+write copy kernel),
+    # for the %-of-HBM framing next to the A100 vs_baseline ratio: the
+    # north-star target is a fraction of THIS part's bandwidth, not the
+    # A100's absolute number
+    copy = jax.jit(lambda x: x + 1)
+    t_copy = timeit(copy, words_list)
+    hbm_gbps = 2 * raw_bytes / t_copy / 1e9
+
     print(
         json.dumps(
             {
@@ -203,6 +211,9 @@ def main():
                 "vs_baseline": round(decomp_gbps / BASELINE_DECODE_GBPS, 4),
                 "encode_GBps": round(comp_gbps, 3),
                 "compression_ratio": round(ratio, 4),
+                "hbm_GBps_measured": round(hbm_gbps, 1),
+                "pct_hbm_decode": round(100 * decomp_gbps / hbm_gbps, 2),
+                "pct_hbm_encode": round(100 * comp_gbps / hbm_gbps, 2),
                 "n_words": n,
                 "device": str(dev.device_kind),
             }

@@ -131,10 +131,23 @@ def _decode_kernel(
     #            combined (pdf|cdf|sym) entry table by rank (1 + 2 gathers
     #            at pb10; see build_rank_tables)
     lut_mode: str,
-    # refill page loop: "pergroup" = 4 gathers + 4 selects per page;
-    # "stacked" = the 4 group streams share ONE (4T, ROWS, 128) scratch so
-    # each page is one (4T,128) gather + select
-    refill_stack: bool,
+    # refill page loop:
+    #   "pergroup"  — 4 gathers + 4 selects per page, bounds from two
+    #                 global reductions read back as scalars EVERY refill
+    #   "stacked"   — the 4 group streams share ONE (4T, ROWS, 128)
+    #                 scratch so each page is one (4T,128) gather + select
+    #   "pipelined" — pergroup layout, but each refill's page bounds were
+    #                 computed ONE REFILL AHEAD (carried scalars; initial
+    #                 bounds scalar-prefetched from the XLA prologue), so
+    #                 the vector->scalar readback that feeds the dynamic
+    #                 fori bound has 8 steps of decode compute to hide
+    #                 behind instead of stalling the loop. Conservative by
+    #                 at most one page: base moves <= 128 u32 words per 8
+    #                 steps (so minpage drops <= 1) and hi is monotone
+    #                 non-increasing. Finished blocks (pos == 0) are
+    #                 excluded from the bounds — they never read again —
+    #                 so tail tiles stop spanning down to page 0.
+    refill_mode: str,
     # how the fused join obtains its nonComp rows:
     #   "xla"     — a pipelined (T,32,128) input pre-sliced by an XLA pass
     #   "alias"   — pipelined bitcast ALIASES of the archive rows (zero
@@ -168,6 +181,17 @@ def _decode_kernel(
         refs = tuple(refs)
     else:
         cks_ref = None
+    refill_stack = refill_mode == "stacked"
+    refill_pipe = refill_mode == "pipelined"
+    if refill_pipe:
+        # per-tile initial refill page bounds (SMEM (ntiles, 2)), appended
+        # after the standard scalar-prefetch args; intercept here so the
+        # per-mode unpacking below stays unchanged
+        refs = list(refs)
+        rb0_ref = refs.pop(3 if nc_mode == "tilebuf" else 2)
+        refs = tuple(refs)
+    else:
+        rb0_ref = None
     """Hot decode loop; with fuse_ft set, the kernel additionally performs
     the float join in place of the raw byte output — the TPU analogue of
     the reference's fused JoinFloatWriter decode
@@ -489,7 +513,7 @@ def _decode_kernel(
         posw = posw - cnt
         return (jnp.where(act, sym, 0) if masked else sym), state2, posw
 
-    def refill(pos):
+    def refill(pos, bnd):
         """Per-group 256-u16-word windows covering the next 8 steps' reads.
 
         One union page loop serves all four groups (four separate
@@ -499,14 +523,31 @@ def _decode_kernel(
         group needs only one broadcast-gather of its base (the round-2
         composite base|hi packing and its per-group unpacks are gone).
 
+        In pipelined mode `bnd` carries this refill's page bounds (computed
+        at the PREVIOUS refill, so the scalar readback latency hides behind
+        8 steps of compute) and the next refill's bounds are returned.
+
         Returns baseq = window base minus the block's off32, so the hot
         read path computes widx with one subtract instead of two."""
         hi = off32 + _srl(jnp.maximum(pos - 1, 0), 1)
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
-            return (zeros, zeros, zeros, zeros), base - off32
-        lo = jnp.min(base) >> 7
-        hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
+            return (zeros, zeros, zeros, zeros), base - off32, bnd
+        if refill_pipe:
+            lo, hi_p = bnd
+            # next refill's conservative bounds: minpage drops <= 1 per
+            # refill; maxpage never rises; finished blocks never read again
+            alive = pos > 0
+            bact = jnp.where(alive, base, 0x7FFFFFF)
+            hact = jnp.where(alive, hi, -1)
+            nbnd = (
+                jnp.maximum((jnp.min(bact) >> 7) - 1, 0),
+                jnp.minimum(jnp.max(hact) >> 7, ROWS_PER_BLOCK - 1),
+            )
+        else:
+            lo = jnp.min(base) >> 7
+            hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
+            nbnd = bnd
 
         if refill_stack:
             # one (4T,128) gather + select per page instead of four
@@ -524,7 +565,7 @@ def _decode_kernel(
                 lo, hi_p + 1, page_body, jnp.zeros((BPR * T, 128), _I32)
             )
             wins = tuple(w4[g * T : (g + 1) * T] for g in range(BPR))
-            return wins, base - off32
+            return wins, base - off32, nbnd
 
         pgs, lis = [], []
         for gg in range(BPR):
@@ -542,10 +583,15 @@ def _decode_kernel(
         wins = jax.lax.fori_loop(
             lo, hi_p + 1, page_body, (zeros, zeros, zeros, zeros)
         )
-        return wins, base - off32
+        return wins, base - off32, nbnd
 
     def chunk_body(masked, c, carry):
-        state, posw, w0, w1, w2, w3, bq2 = carry
+        if refill_pipe:
+            state, posw, w0, w1, w2, w3, bq2, blo, bhi = carry
+            bnd = (blo, bhi)
+        else:
+            state, posw, w0, w1, w2, w3, bq2 = carry
+            bnd = None
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         packs = [None] * (CHUNK // GROUP)
         for m in range(CHUNK // GROUP - 1, -1, -1):
@@ -564,7 +610,7 @@ def _decode_kernel(
 
                     def _do():
                         pa = posw + bq2
-                        wins_n, bq = refill(pa)
+                        wins_n, bq, _ = refill(pa, None)
                         b2 = bq << 1
                         return wins_n, b2, pa - b2
 
@@ -575,7 +621,7 @@ def _decode_kernel(
                     )
                 else:
                     pa = posw + bq2
-                    (w0, w1, w2, w3), bq = refill(pa)
+                    (w0, w1, w2, w3), bq, bnd = refill(pa, bnd)
                     bq2 = bq << 1
                     posw = pa - bq2
             wins = (w0, w1, w2, w3)
@@ -725,6 +771,8 @@ def _decode_kernel(
                     jnp.where(widx0 < nn, pair & 0xFFFF, 0),
                 )
                 out_ref[:, 16 * g + 2 * cc + p, :] = pair
+        if refill_pipe:
+            return state, posw, w0, w1, w2, w3, bq2, bnd[0], bnd[1]
         return state, posw, w0, w1, w2, w3, bq2
 
     init = (
@@ -738,6 +786,10 @@ def _decode_kernel(
         zeros,
         zeros + (1 << 29) if lazy_refill else zeros,
     )
+    if refill_pipe:
+        # initial page bounds from the XLA prologue (exact for refill 0,
+        # which recomputes base from the same pos = cwords)
+        init = init + (rb0_ref[i, 0], rb0_ref[i, 1])
     if full_tiles:
         jax.lax.fori_loop(
             0, S // CHUNK, functools.partial(chunk_body, False), init
@@ -805,12 +857,17 @@ def _build_decode_call(
     act_spec: bool = False,
     full_tiles: bool = False,
     lut_mode: str = "two",
-    refill_stack: bool = False,
+    refill_mode: str = "pergroup",
 ):
     K = 1 << prob_bits
     SR = rank_rows(prob_bits) if lut_mode == "rank" else max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
+    refill_stack = refill_mode == "stacked"
+    assert not (lazy_refill and refill_mode == "pipelined"), (
+        "lazy refill carries its windows under lax.cond; the pipelined "
+        "bounds carry is not wired through that path"
+    )
     assert nc_mode == "xla" or fuse_ft is not None, (
         "inline nonComp modes exist only for the fused joins"
     )
@@ -820,7 +877,7 @@ def _build_decode_call(
 
     kernel = functools.partial(
         _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT,
-        lut_mode, refill_stack, nc_mode,
+        lut_mode, refill_mode, nc_mode,
         with_cksum, lazy_refill, act_spec, full_tiles,
     )
     if per_row_tables:
@@ -947,6 +1004,8 @@ def _build_decode_call(
     if nc_mode == "tilebuf":
         n_prefetch = 3  # + per-tile-row nonComp window offsets
         scratch.append(pltpu.VMEM((T, 33, 128), _I32))
+    if refill_mode == "pipelined":
+        n_prefetch += 1  # + per-tile initial refill page bounds
     scratch.append(pltpu.SemaphoreType.DMA)
     if with_cksum:
         out_spec = [
@@ -1048,23 +1107,35 @@ def build_rank_tables(pdf: jnp.ndarray, prob_bits: int):
     """
     K = 1 << prob_bits
     DR = rank_rows(prob_bits)
+    NB8 = K // 8
     pdf_i = pdf.astype(_I32)
     incl = jnp.cumsum(pdf_i)
     nz = pdf_i > 0
-    slots = jnp.arange(K, dtype=_I32)
-    # rank(s) = #{nonzero k: incl_k <= s}; comparison matrix, vmap-fast
-    rank = jnp.sum(
-        ((incl[None, :] <= slots[:, None]) & nz[None, :]).astype(_I32),
-        axis=1,
-    )
-    rank = jnp.minimum(rank, _I32(C.NUM_SYMBOLS - 1))
-    r8 = rank.reshape(-1, 8)
-    base = r8[:, 0]
-    shifts = jnp.asarray([8 + 3 * j for j in range(8)], _I32)
-    dtab = base + jnp.sum((r8 - base[:, None]) << shifts[None, :], axis=1)
-    if K // 8 < 128 * DR:  # pb9: 64 live entries in one 128-lane row
+    # Bin construction instead of the round-4 (K, 256) comparison matrix
+    # (8x the needed volume; at B=128 batched it materialized ~134 MB of
+    # intermediates): each NONZERO symbol's inclusive cumsum e lands in
+    # value-range bin b = (e-1)>>3 at in-bin position t = e - 8b in
+    # [1, 8], and
+    #   * base rank of entry i = #{nz: e <= 8i} = #{nz: b < i}
+    #     = exclusive-cumsum of bin counts,
+    #   * position t contributes +1 to the 3-bit delta fields j >= t,
+    #     i.e. the closed-form constant V[t] = sum_{j=t..7} 8^j << 8
+    #     = ((8^8 - 8^t) / 7) << 8   (V[8] = 0 falls out of the formula).
+    # Field carries are impossible: strictly increasing cumsums bound
+    # each delta by 7 and the base rank by 255 (the original rank-LUT
+    # correctness argument).
+    b = _srl(incl - 1, 3)
+    t3 = 3 * (incl - (b << 3))
+    vt = ((_I32(1 << 24) - (_I32(1) << t3)) // 7) << 8
+    bins = jnp.arange(NB8, dtype=_I32)
+    onehot = (b[None, :] == bins[:, None]) & nz[None, :]
+    cntb = jnp.sum(onehot.astype(_I32), axis=1)
+    vsum = jnp.sum(jnp.where(onehot, vt[None, :], 0), axis=1)
+    base = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(cntb)[:-1]])
+    dtab = base + vsum
+    if NB8 < 128 * DR:  # pb9: 64 live entries in one 128-lane row
         dtab = jnp.concatenate(
-            [dtab, jnp.zeros(128 * DR - K // 8, _I32)]
+            [dtab, jnp.zeros(128 * DR - NB8, _I32)]
         )
     # entry table by rank: scatter-free (rank_of_symbol == t) masked sum
     cdf = incl - pdf_i
@@ -1090,12 +1161,42 @@ def _lut_mode() -> str:
     return m
 
 
-def _refill_stack() -> bool:
-    """Refill page-loop layout (hardware A/B knob): "stacked" shares one
-    (4T, ROWS, 128) stream scratch so each page is one wide gather.
-    Measured a wash on the v5e (5.38 vs 5.37 ms at 64Mi bf16, r4 session
-    A); default stays "pergroup" (simpler scratch layout)."""
-    return _os.environ.get("DIETGPU_DECODE_REFILL2", "pergroup") == "stacked"
+def _refill_mode() -> str:
+    """Refill page-loop strategy (hardware A/B knob).
+
+    "pipelined": pergroup layout, page bounds computed one refill ahead
+    so the vector->scalar readback feeding the dynamic fori bound hides
+    behind 8 steps of compute, and finished blocks are excluded from the
+    bounds (hardware A/B pending; default flips if it wins).
+    "pergroup" (default): bounds reduced and read back synchronously
+    every refill.
+    "stacked": one (4T, ROWS, 128) stream scratch so each page is one
+    wide gather; measured a wash vs pergroup on the v5e (5.38 vs 5.37 ms
+    at 64Mi bf16, r4 session A)."""
+    m = _os.environ.get("DIETGPU_DECODE_REFILL2", "pergroup")
+    if m not in ("pergroup", "stacked", "pipelined"):
+        raise ValueError(
+            f"DIETGPU_DECODE_REFILL2={m!r} must be 'pergroup', 'stacked' "
+            "or 'pipelined'"
+        )
+    return m
+
+
+def _refill_bounds(cwords, off32, T: int):
+    """XLA prologue for the pipelined refill: per-tile initial page
+    bounds at pos = cwords (exact for refill 0; dead blocks excluded)."""
+    hi0 = off32 + jnp.maximum(cwords - 1, 0) // 2
+    b0 = jnp.maximum(hi0 - 127, 0)
+    alive = cwords > 0
+    bact = jnp.where(alive, b0, 0x7FFFFFF).reshape(-1, BPR * T)
+    hact = jnp.where(alive, hi0, -1).reshape(-1, BPR * T)
+    return jnp.stack(
+        [
+            jnp.min(bact, axis=1) >> 7,
+            jnp.clip(jnp.max(hact, axis=1) >> 7, -1, ROWS_PER_BLOCK - 1),
+        ],
+        axis=1,
+    )
 
 
 def _decode_tables(pdf, prob_bits: int, lut_mode: str):
@@ -1313,6 +1414,7 @@ def ans_decode_padded_pallas(
         nc_mode = "xla"
     if _os.environ.get("DIETGPU_DECODE_NCMODE") == "xla":
         nc_mode = "xla"  # hardware A/B knob: force the XLA-slice path
+    rm = _refill_mode()
     call = _build_decode_call(
         NBp, prob_bits, T, need_rows, fuse_float, nc_mode=nc_mode,
         with_cksum=verify_checksum,
@@ -1321,8 +1423,14 @@ def ans_decode_padded_pallas(
         # every block full AND no grid-padding blocks -> unmasked hot loop
         full_tiles=static_full and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
-        lut_mode=lm, refill_stack=_refill_stack(),
+        lut_mode=lm, refill_mode=rm,
     )
+    if rm == "pipelined":
+        # insert the per-tile initial page bounds after the two standard
+        # scalar-prefetch args at every call site below
+        rbnd = _refill_bounds(cwords, off32, T)
+        _call0 = call
+        call = lambda t0, lr, *rest: _call0(t0, lr, rbnd, *rest)
 
     def _digest(call_out):
         """Unpack (out, cks) when the fused checksum rides along; fold the
@@ -1671,6 +1779,7 @@ def ans_decode_batched_pallas(
     plo = jnp.asarray(plo_np, jnp.bfloat16)
     phi = jnp.asarray(phi_np, jnp.bfloat16)
     suf = jnp.asarray(_suffix_matrix(), jnp.bfloat16)
+    rm = _refill_mode()
     call = _build_decode_call(
         B * NBp, prob_bits, T, need_rows, fuse_float, per_row_tables=True,
         rt_rows=RT, nc_mode=nc_mode,
@@ -1679,8 +1788,19 @@ def ans_decode_batched_pallas(
         # static member geometry with every block full -> unmasked hot loop
         full_tiles=static_full and static_geom and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
-        lut_mode=lm, refill_stack=_refill_stack(),
+        lut_mode=lm, refill_mode=rm,
     )
+    if rm == "pipelined":
+        # per-tile initial page bounds over the batch-flattened block
+        # order (meta lane layout: lanes 32g+2/32g+3 = cwords/off32)
+        cw_flat = meta.reshape(B * NBp // BPR, BPR, 32)[:, :, 2].reshape(-1)
+        o32_flat = meta.reshape(B * NBp // BPR, BPR, 32)[:, :, 3].reshape(-1)
+        rbnd = _refill_bounds(cw_flat, o32_flat, T)
+        _call0 = call
+        if nc_mode == "tilebuf":
+            call = lambda t0, lr, nc, *rest: _call0(t0, lr, nc, rbnd, *rest)
+        else:
+            call = lambda t0, lr, *rest: _call0(t0, lr, rbnd, *rest)
     result = {"size": n.astype(_U32), "success": success}
     if fuse_float == C.FLOAT_TYPE_FLOAT32:
         # 3-plane fused join: per-member lo/hi raw-plane slices. The hi

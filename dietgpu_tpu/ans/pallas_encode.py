@@ -111,6 +111,20 @@ def _flushstack() -> bool:
     return _os.environ.get("DIETGPU_ENCODE_FLUSHSTACK", "off") == "on"
 
 
+def _flushpipe() -> bool:
+    """Pipelined flush page bounds (A/B knob, decode's pipelined-refill
+    twin): each flush's page-loop bounds were computed ONE FLUSH AHEAD
+    (carried scalars; flush 0 statically spans pages [0, 1]), so the
+    vector->scalar readback feeding the dynamic fori bound has G steps of
+    encode compute to hide behind. Conservative by at most one page: a
+    block's staging base is monotone non-decreasing and advances <= 128
+    words (one page) per flush, and the LO bound takes min over ALL live
+    blocks (a not-yet-ready block can turn ready at a lower page than any
+    currently-ready one). Hardware A/B pending; default flips if it
+    wins."""
+    return _os.environ.get("DIETGPU_ENCODE_FLUSHPIPE", "off") == "on"
+
+
 S = C.STEPS_PER_BLOCK  # 128
 W = C.NUM_INTERLEAVED  # 32
 MW = C.MAX_COMP_WORDS_PER_BLOCK  # 2560
@@ -168,6 +182,7 @@ def _encode_kernel(
     divmode: str,  # "magic" umulhi division | "f32" reciprocal+correction
     datamode: str,  # "perstep" 4-gather fetch | "quartet" chunk-rotated
     flush_stack: bool,  # stacked flush broadcast-gathers
+    flush_pipe: bool,  # page bounds computed one flush ahead (see _flushpipe)
     # statically guaranteed: every block in the grid is full (length ==
     # NBp * 4096) — the per-step activity compare and its two act-selects
     # vanish for the whole grid (same trick as the decode kernel)
@@ -247,7 +262,12 @@ def _encode_kernel(
     for p in range(4 * PAGES):
         words_ref[:, p, :] = zeros
 
-    def flush_windows(wins, fill2, base, partial):
+    if flush_pipe:
+        # dead blocks never stage words; exclude them from the LO bound so
+        # tail tiles don't pin every flush's loop start at page 0
+        deadbig = jnp.where(uncomp > 0, 0, PAGES)
+
+    def flush_windows(wins, fill2, base, partial, bnd=None):
         """Drain each group's full 32-slot quarters into the staging pages,
         once per G steps. Register r holds stream words base+32r.. of its
         group; fill2>>5 of them are full. One branchless union page loop
@@ -285,10 +305,26 @@ def _encode_kernel(
             pmax = pfs[0]
             for pf in pfs[1:]:
                 pmax = jnp.maximum(pmax, pf)
-            # register pages are monotone in r, so register 0 (ready
-            # whenever any is) bounds the range from below
-            mx = jnp.max(pmax) - 1
-            lop = jnp.min(jnp.where(pfs[0] > 0, pfs[0] - 1, PAGES))
+            if flush_pipe:
+                # bounds computed at the PREVIOUS flush; this flush
+                # computes the next pair — the scalar readback hides
+                # behind the next G steps. Both bounds derive from `base`
+                # (monotone non-decreasing per block) over ALL live
+                # blocks, NOT from readiness (which flickers): next flush
+                # register r contributes page (base' + 32r) >> 7 with
+                # base' <= base + 128 and 32r <= 128, so +2 covers it
+                lop, mx = bnd
+                bp = _srl(base, 7)
+                nbnd = (
+                    jnp.min(bp + deadbig),
+                    jnp.minimum(jnp.max(bp - deadbig) + 2, PAGES - 1),
+                )
+            else:
+                # register pages are monotone in r, so register 0 (ready
+                # whenever any is) bounds the range from below
+                mx = jnp.max(pmax) - 1
+                lop = jnp.min(jnp.where(pfs[0] > 0, pfs[0] - 1, PAGES))
+                nbnd = bnd
             if flush_stack and R > 1:
                 # ONE (R*T,128) static-index gather per group broadcasts
                 # all R register composites at once (was R gathers each)
@@ -322,12 +358,16 @@ def _encode_kernel(
                 return 0
 
             jax.lax.fori_loop(lop, mx + 1, body, 0)
+        else:
+            nbnd = bnd
 
         # after draining k full quarters the live tail sits in register k
         w0 = wins[0]
         for r in range(1, NWIN):
             w0 = jnp.where(k == r, wins[r], w0)
-        return (w0,) + (zeros,) * G, fill2 - (k << 5), base + (k << 5)
+        return (
+            (w0,) + (zeros,) * G, fill2 - (k << 5), base + (k << 5), nbnd
+        )
 
     def one_step(kk, loads, l, sd, carry):
         state, *rest = carry
@@ -430,7 +470,8 @@ def _encode_kernel(
         for reg in range(min(sd + 2, NWIN)):
             d = jax.lax.bitcast_convert_type(d0 + 32 * reg, _U32)
             wins[reg] = jnp.where(d < cnt_u, val, wins[reg])
-        return (state2, *wins, fillc, base)
+        # trailing carry entries (pipelined flush bounds) pass through
+        return (state2, *wins, fillc, base, *rest[NWIN + 2 :])
 
     def chunk_body(c, carry):
         loads = [data_ref[:, 8 * g + c, :] for g in range(BPR)]
@@ -456,11 +497,14 @@ def _encode_kernel(
             # full window quarters -> staging pages (pages clamped on
             # block overflow, which is flagged in the returned size;
             # GpuANSEncode.cuh:355-360)
-            wins, fill, base = flush_windows(
+            bnd = (carry[3 + NWIN], carry[4 + NWIN]) if flush_pipe else None
+            wins, fill, base, nbnd = flush_windows(
                 carry[1 : 1 + NWIN], carry[1 + NWIN], carry[2 + NWIN],
-                partial=False,
+                partial=False, bnd=bnd,
             )
-            carry = (carry[0], *wins, fill, base)
+            carry = (carry[0], *wins, fill, base) + (
+                nbnd if flush_pipe else ()
+            )
         return carry
 
     init = (
@@ -469,12 +513,17 @@ def _encode_kernel(
         zeros,
         zeros,
     )
+    if flush_pipe:
+        # flush 0 drains registers whose pages span at most [0, 1]
+        init = init + (jnp.int32(0), jnp.int32(1))
     final = jax.lax.fori_loop(0, S // CHUNK, chunk_body, init)
     state = final[0]
 
-    # final partial-window flush (full quarters + the lane-masked tail)
-    _, fill, base = flush_windows(
-        final[1 : 1 + NWIN], final[1 + NWIN], final[2 + NWIN], partial=True
+    # final partial-window flush (full quarters + the lane-masked tail;
+    # one more register than in-loop flushes — the +2 page bound covers it)
+    _, fill, base, _ = flush_windows(
+        final[1 : 1 + NWIN], final[1 + NWIN], final[2 + NWIN], partial=True,
+        bnd=(final[3 + NWIN], final[4 + NWIN]) if flush_pipe else None,
     )
 
     counts_ref[:] = base + fill
@@ -485,12 +534,13 @@ def _encode_kernel(
 def _build_encode_call(NBp: int, prob_bits: int, T: int,
                        per_row_tables: bool = False, G: int = 4,
                        divmode: str = "magic", full_tiles: bool = False,
-                       datamode: str = "perstep", flush_stack: bool = False):
+                       datamode: str = "perstep", flush_stack: bool = False,
+                       flush_pipe: bool = False):
     assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
     kernel = functools.partial(
         _encode_kernel, prob_bits, T, per_row_tables, G, divmode,
-        datamode, flush_stack, full_tiles
+        datamode, flush_stack, flush_pipe, full_tiles
     )
     NR = NBp // BPR
     if per_row_tables:
@@ -729,6 +779,7 @@ def _encode_stage1(
         NBp, prob_bits, T // BPR, G=_flush_group(), divmode=dm,
         full_tiles=full_tiles,
         datamode=_datamode(), flush_stack=_flushstack(),
+        flush_pipe=_flushpipe(),
     )
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
@@ -1075,6 +1126,7 @@ def ans_encode_batched_pallas(
             full_tiles=static_n == L and NBm == NB
             and _os.environ.get("DIETGPU_ENCODE_FULLTILES") != "off",
             datamode=_datamode(), flush_stack=_flushstack(),
+            flush_pipe=_flushpipe(),
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre
@@ -1175,14 +1227,32 @@ def ans_encode_batched_pallas(
     )
 
 
+def _validated_encode_tile() -> int:
+    v = int(_os.environ.get("DIETGPU_ENCODE_TILE", "512"))
+    if v % 32 or not (256 <= v <= 4096):
+        raise ValueError(
+            f"DIETGPU_ENCODE_TILE={v} must be a multiple of 32 in "
+            "[256, 4096]: archive-buffer geometry derives from it, and "
+            "values below 256 would under-size containers vs the batched "
+            "encoder's fixed 256-block assembly tile"
+        )
+    return v
+
+
+# pinned at import (like SPLIT_TILE): the buffer geometry every sizing
+# caller derives from this value must agree process-wide — one process
+# per A/B arm
+_ENCODE_TILE = _validated_encode_tile()
+
+
 def _encode_tile() -> int:
     """Stage-1 blocks per grid step (hardware sweep knob; 4 blocks per
     sublane row, so 256 blocks = 64 rows). The archive-buffer geometry
     derives from the same value, so every sizing caller must agree —
-    hence one env-overridable default. v5e sweep (r4 session D/E, 64Mi
-    bf16 full compress): 256 -> 12.94 ms, 512 -> 12.43, 1024 -> 12.44;
-    512 is the default."""
-    return int(_os.environ.get("DIETGPU_ENCODE_TILE", "512"))
+    hence one env-overridable default, validated and pinned at import.
+    v5e sweep (r4 session D/E, 64Mi bf16 full compress): 256 -> 12.94 ms,
+    512 -> 12.43, 1024 -> 12.44; 512 is the default."""
+    return _ENCODE_TILE
 
 
 def archive_buffer_bytes_pallas(

@@ -163,6 +163,11 @@ def float_decompress_padded_pallas(
     `static_length` (the caller's trace-time knowledge of the word count)
     enables the unmasked full-tile hot loop when it fills out_max_words
     exactly; a mismatching archive fails `success`, never reads OOB.
+    It is a CONTRACT, not a hint: decompress fails `success` whenever the
+    archive header's word count differs from static_length, including
+    smaller archives a masked decode would handle — fail-closed, because
+    the unmasked path would otherwise emit garbage in the dead rows. Do
+    not pass static_length speculatively.
 
     Returns dict: out32 (u16 word-pairs for f16/bf16; u32 words for f32),
     size u32 (words), success, checksum_ok.
@@ -316,6 +321,13 @@ def float_compress_batched_pallas(
         lo_len32 = C.round_up(length, 8) >> 1
         hi_len32 = C.round_up(length, 16) >> 2
         plane32 = lo_len32 + hi_len32
+        # the embedded-ANS DUS start must fit: jax dynamic_update_slice
+        # CLAMPS out-of-range starts and would silently write the archive
+        # at the wrong offset (container/tile geometry must agree)
+        assert 4 + plane32 + ans_arcs.shape[1] <= F4, (
+            "float container too small for the batched ANS buffers: "
+            f"{4 + plane32 + ans_arcs.shape[1]} > {F4}"
+        )
 
         def one(ck, lo, hi, ans):
             header = jnp.array(
@@ -334,6 +346,10 @@ def float_compress_batched_pallas(
         bufs = jax.vmap(one)(checksums, lo32, hi32, ans_arcs)
     else:
         plane32 = C.round_up(length, 16) >> 2
+        assert 4 + plane32 + ans_arcs.shape[1] <= F4, (
+            "float container too small for the batched ANS buffers: "
+            f"{4 + plane32 + ans_arcs.shape[1]} > {F4}"
+        )
 
         def one(ck, nc, ans):
             header = jnp.array(

@@ -51,6 +51,11 @@ def main():
     base = None
     for tile in ("256", "512", "1024"):
         os.environ["DIETGPU_ENCODE_TILE"] = tile
+        # _ENCODE_TILE is pinned at import (buffer-geometry coherence);
+        # this in-process sweep overrides the pinned value per arm
+        from dietgpu_tpu.ans import pallas_encode as penc
+
+        penc._ENCODE_TILE = int(tile)
         compress = jax.jit(
             lambda w: pfc.float_compress_padded_pallas(w, n, ft, 10, False)
         )

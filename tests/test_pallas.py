@@ -911,23 +911,47 @@ def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
 
 
 # ---- round-4 gather-mode knobs -----------------------------------------
-# The DEFAULT arms (decode rank-LUT + stacked refill; encode quartet fetch
-# + stacked flush) are exercised by every test above. These pin the legacy
-# arms and the rank-LUT's adversarial corner (zero-pdf cumsum ties, which
-# is why the table stores NONZERO-symbol ranks — see build_rank_tables).
+# The DEFAULT arms (decode rank-LUT + PERGROUP refill; encode quartet
+# fetch with FLUSHSTACK off) are exercised by every test above. These pin
+# the legacy arms, the measured-loser knob arms (stacked refill / stacked
+# flush — kept as documented evidence), and the rank-LUT's adversarial
+# corner (zero-pdf cumsum ties, which is why the table stores
+# NONZERO-symbol ranks — see build_rank_tables).
 
 
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        # legacy arms
+        {
+            "DIETGPU_DECODE_LUT": "two",
+            "DIETGPU_DECODE_REFILL2": "pergroup",
+            "DIETGPU_ENCODE_DATAMODE": "perstep",
+            "DIETGPU_ENCODE_FLUSHSTACK": "off",
+        },
+        # measured-loser knob arms (non-default kernel branches)
+        {
+            "DIETGPU_DECODE_REFILL2": "stacked",
+            "DIETGPU_ENCODE_FLUSHSTACK": "on",
+        },
+        # round-5 pipelined-bounds arms (page-loop bounds computed one
+        # refill/flush ahead; carried-scalar kernel branches)
+        {
+            "DIETGPU_DECODE_REFILL2": "pipelined",
+            "DIETGPU_ENCODE_FLUSHPIPE": "on",
+        },
+    ],
+    ids=["legacy", "stacked", "pipelined"],
+)
 def test_pallas_legacy_gather_modes_interpret(
-    interpret_pallas, rng, monkeypatch
+    interpret_pallas, rng, monkeypatch, knobs
 ):
     from dietgpu_tpu.ans import pallas_decode as pdec
     from dietgpu_tpu.ans import pallas_encode as penc
     from dietgpu_tpu.ref import ans_ref
 
-    monkeypatch.setenv("DIETGPU_DECODE_LUT", "two")
-    monkeypatch.setenv("DIETGPU_DECODE_REFILL2", "pergroup")
-    monkeypatch.setenv("DIETGPU_ENCODE_DATAMODE", "perstep")
-    monkeypatch.setenv("DIETGPU_ENCODE_FLUSHSTACK", "off")
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
     n = C.DEFAULT_BLOCK_SIZE + 1234
     data = _expo_bytes(rng, n)
     L = C.round_up(n, C.DEFAULT_BLOCK_SIZE)
@@ -996,3 +1020,131 @@ def test_pallas_batched_global_assembly_interpret(
     glob, glob_sz = pfc.float_compress_batched_pallas(wj, ln, 2, 10, False)
     assert np.array_equal(np.asarray(base_sz), np.asarray(glob_sz))
     assert np.array_equal(np.asarray(base), np.asarray(glob))
+
+
+# ---- round-5 TPU-gated batched one-grid bit-exactness (VERDICT r4 #8) --
+# The batched grids' hardware correctness previously rested on bench
+# asserts alone; these run them on the chip under DIETGPU_TEST_TPU=1.
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+def test_pallas_batched_float_tpu_bitexact(rng):
+    """Hardware: the one-grid batched float compress emits byte-identical
+    archives to the single-tensor Pallas pipeline for every member, and
+    the one-grid batched fused decode roundtrips them bit-exactly."""
+    from dietgpu_tpu.floatcodec import pallas_codec as pfc
+
+    B = 8
+    nw = 64 * 1024
+    Lw = C.round_up(nw, C.DEFAULT_BLOCK_SIZE)
+    ft = C.FLOAT_TYPE_BFLOAT16
+    x = rng.standard_normal((B, Lw)).astype(np.float32)
+    w = (x.view(np.uint32) >> 16).astype(np.uint16)
+    w[:, nw:] = 0
+    wj = jnp.asarray(np.ascontiguousarray(w).view(np.uint32))
+
+    arcs, sizes = jax.jit(
+        lambda d: pfc.float_compress_batched_pallas(d, nw, ft, 10, False)
+    )(wj)
+    single = jax.jit(
+        lambda d: pfc.float_compress_padded_pallas(d, nw, ft, 10, False)
+    )
+    arcs_h = np.asarray(arcs)
+    for m in range(B):
+        a1, s1 = single(wj[m])
+        assert int(s1) == int(sizes[m]), m
+        s = int(s1)
+        assert np.array_equal(
+            arcs_h[m].view(np.uint8)[:s], np.asarray(a1).view(np.uint8)[:s]
+        ), m
+
+    r = jax.jit(
+        lambda a: pfc.float_decompress_batched_pallas(
+            a, ft, Lw, 10, static_length=nw
+        )
+    )(arcs)
+    assert bool(np.asarray(r["success"]).all())
+    got = np.asarray(r["out32"]).view(np.uint16)[:, :nw]
+    assert np.array_equal(got, w[:, :nw])
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+def test_pallas_batched_ans_tpu_bitexact(rng):
+    """Hardware: one-grid batched raw-ANS encode matches the single-tensor
+    Pallas archives per member (different tables per member), and the
+    one-grid batched decode returns the exact bytes."""
+    from dietgpu_tpu.ans import pallas_decode as pdec
+    from dietgpu_tpu.ans import pallas_encode as penc
+    from dietgpu_tpu.ans import stats
+
+    B = 6
+    L = 32 * C.DEFAULT_BLOCK_SIZE
+    n = L
+    datas = np.stack(
+        [_expo_bytes(rng, n, lam=6 * (m + 1)) for m in range(B)]
+    )
+    d32 = jnp.asarray(np.ascontiguousarray(datas).view(np.uint32))
+    from dietgpu_tpu.ans import pallas_hist as ph
+
+    # per-member tables from per-member histograms
+    pdfs = []
+    hist_jit = jax.jit(lambda d: ph.histogram_u8_pallas(d, d.shape[0] * 4))
+    for m in range(B):
+        hm = hist_jit(d32[m])
+        pdfs.append(
+            jax.jit(
+                lambda h: stats.normalize_probs(h, jnp.uint32(n), 10)
+            )(hm)
+        )
+    pdfs = jnp.stack(pdfs)
+    arcs, sizes = jax.jit(
+        lambda d, p: penc.ans_encode_batched_pallas(d, n, p, 10)
+    )(d32, pdfs)
+    arcs_h = np.asarray(arcs)
+    single = jax.jit(
+        lambda d, p: penc.ans_encode_padded_pallas(
+            d, n, 10, precomputed_pdf=p
+        )
+    )
+    for m in range(B):
+        a1, s1 = single(d32[m], pdfs[m])
+        assert int(s1) == int(sizes[m]), m
+        s = int(s1)
+        assert np.array_equal(
+            arcs_h[m].view(np.uint8)[:s], np.asarray(a1).view(np.uint8)[:s]
+        ), m
+
+    r = jax.jit(
+        lambda a: pdec.ans_decode_batched_pallas(a, 10, L, static_nb=L // C.DEFAULT_BLOCK_SIZE)
+    )(arcs)
+    assert bool(np.asarray(r["success"]).all())
+    got = np.asarray(r["out"]).view(np.uint8)[:, :n]
+    assert np.array_equal(got, datas)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real-TPU test (DIETGPU_TEST_TPU=1)")
+def test_shard_codec_tpu_1dev(rng):
+    """Hardware: the shard-codec Pallas path on a 1-device TPU mesh —
+    compress/decompress through shard_map against the oracle."""
+    import jax.sharding as jsh
+
+    from dietgpu_tpu.parallel import sharding as sharding_mod
+    from dietgpu_tpu.parallel.sharding import shard_compress, shard_decompress
+    from dietgpu_tpu.ref import ans_ref
+
+    sharding_mod._sharded_encode.cache_clear()
+    sharding_mod._sharded_decode.cache_clear()
+    mesh = jsh.Mesh(np.array(jax.devices()[:1]), ("d",))
+    L = 4 * C.DEFAULT_BLOCK_SIZE
+    data = _expo_bytes(rng, L).reshape(1, L)
+    lengths = np.full(1, L, np.int32)
+    arcs, sizes = shard_compress(mesh, jnp.asarray(data), jnp.asarray(lengths))
+    oracle = ans_ref.ans_encode(data[0], prob_bits=C.DEFAULT_PROB_BITS)
+    assert np.array_equal(np.asarray(arcs)[0, : oracle.size], oracle)
+    outs, out_sizes, ok = shard_decompress(
+        mesh, arcs, jnp.asarray(lengths), L
+    )
+    assert bool(np.asarray(ok).all())
+    assert np.array_equal(np.asarray(outs)[:, :L], data)
+    sharding_mod._sharded_encode.cache_clear()
+    sharding_mod._sharded_decode.cache_clear()
