@@ -80,7 +80,7 @@ def main():
     for arm in ARMS:
         os.environ["DIETGPU_ENCODE_FLUSHPIPE"] = arm
         enc = jax.jit(
-            lambda d: penc.ans_encode_padded_pallas(d, nb, 10, False)
+            lambda d: penc.ans_encode_padded_pallas(d, nb, 10, False, return_u32=True)
         )
         arcs = [enc(d)[0] for d in datas]
         if base_arcs is None:

@@ -109,10 +109,10 @@ def main():
         os.environ["DIETGPU_DECODE_REFILL2"] = mode
         clear_caches()
         fn = jax.jit(
-            lambda a: pdec.ans_decode_padded_pallas(a, 10, Lb, False)
+            lambda a: pdec.ans_decode_padded_pallas(a, 10, Lb, False, return_u32=True)
         )
         t = timeit(fn, [(a,) for a in rarcs])
-        routs[mode] = np.asarray(fn(rarcs[0])["out"])
+        routs[mode] = np.asarray(fn(rarcs[0])["out"])  # u32 words
         print(
             f"raw ANS {MWW//2}Mi decode   [{mode:9s}]: {t*1e3:8.2f} ms  "
             f"{nb/t/1e9:6.2f} GB/s",

@@ -1,6 +1,5 @@
 #!/bin/bash
-# Round-5 session A: roofline synthetic ceiling + HBM BW, then the
-# pipelined-bounds A/Bs (decode refill, encode flush).
+# Round-5 session B: carry-slimming A/B + the fixed roofline bridge.
 set -u
 LOGDIR=/tmp/chip_r5
 mkdir -p "$LOGDIR"
@@ -40,10 +39,6 @@ step() {
   return 1
 }
 
-step ab_refill 2400 python experiments/ab_r5_refill.py
-step ab_encode 2400 python experiments/ab_r5_encode.py
-step roofline 1800 python experiments/roofline_kernel.py
-step midsize 2400 python experiments/probe_midsize.py
-step midsize_ablate 2400 env DIETGPU_DECODE_ABLATE=realign,read,rank,pack,lut python experiments/probe_midsize.py
-step u8pack 1200 python experiments/probe_u8pack.py
-echo "SESSION A COMPLETE"
+step ab_slim 3000 python experiments/ab_r5_slim.py
+step roofline_b 2400 python experiments/roofline_kernel.py
+echo "SESSION B COMPLETE"
