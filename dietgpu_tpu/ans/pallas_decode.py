@@ -158,6 +158,9 @@ def _decode_kernel(
     nc_mode: str,
     with_cksum: bool,
     lazy_refill: bool,
+    # drop the dead window carry from the eager chunk loop (see
+    # chunk_body); "off" keeps the round-4 7-tensor carry for A/B
+    slim_carry: bool,
     act_spec: bool,
     # the driver statically guarantees EVERY block in the grid is full
     # (out_max == nb * 4096, no grid-padding blocks): the per-step activity
@@ -513,7 +516,7 @@ def _decode_kernel(
         posw = posw - cnt
         return (jnp.where(act, sym, 0) if masked else sym), state2, posw
 
-    def refill(pos, bnd):
+    def refill(pos, bnd, reuse_from=None):
         """Per-group 256-u16-word windows covering the next 8 steps' reads.
 
         One union page loop serves all four groups (four separate
@@ -533,7 +536,39 @@ def _decode_kernel(
         base = jnp.maximum(hi - 127, 0)
         if "refill" in _ABLATE:
             return (zeros, zeros, zeros, zeros), base - off32, bnd
-        if refill_pipe:
+        if refill_mode == "static":
+            # NO reductions, NO dynamic fori: a fully static unrolled page
+            # chain. The dynamic while-loop boundary breaks Mosaic's
+            # software pipeline every 8 steps — the r5 bridge kernel
+            # measured the dynamic refill machinery at -45% (29.7 -> 16.4
+            # G-sym/s) where its vector op count predicts ~-20%. Trading
+            # ~3x the refill gathers (all ROWS_PER_BLOCK pages tested,
+            # most selects discard) for an unbroken schedule.
+            # group-sequential to bound the live set (T=512's scoped VMEM
+            # overflowed with all 8 pg/li tensors live across the chain)
+            accs = []
+            for gg in range(BPR):
+                g0 = _taa(base, g32[gg]) + lane
+                pg = _srl(g0, 7)
+                li = g0 & 127
+                acc = zeros
+                for p in range(ROWS_PER_BLOCK):
+                    acc = jnp.where(
+                        pg == p, _taa(streams[gg][:, p, :], li), acc
+                    )
+                accs.append(acc)
+            return tuple(accs), base - off32, bnd
+        if refill_mode == "reuse" and reuse_from is not None:
+            # second refill of the chunk (m == 1, a PYTHON-static
+            # position): reuse the m == 3 refill's page bounds widened by
+            # one page — base moves <= 128 u32 words (one page) per
+            # refill and hi is monotone non-increasing — halving the two
+            # full (T,128) min/max reductions (~63 linear vector ops
+            # each) that dominate the refill's fixed cost
+            lo = jnp.maximum(reuse_from[0] - 1, 0)
+            hi_p = reuse_from[1]
+            nbnd = reuse_from
+        elif refill_pipe:
             lo, hi_p = bnd
             # next refill's conservative bounds: minpage drops <= 1 per
             # refill; maxpage never rises; finished blocks never read again
@@ -547,7 +582,9 @@ def _decode_kernel(
         else:
             lo = jnp.min(base) >> 7
             hi_p = jnp.minimum(jnp.max(hi) >> 7, ROWS_PER_BLOCK - 1)
-            nbnd = bnd
+            # "reuse" hands this refill's bounds to the chunk's second
+            # refill (see above)
+            nbnd = (lo, hi_p) if refill_mode == "reuse" else bnd
 
         if refill_stack:
             # one (4T,128) gather + select per page instead of four
@@ -587,13 +624,24 @@ def _decode_kernel(
 
     def chunk_body(masked, c, carry):
         if refill_pipe:
-            state, posw, w0, w1, w2, w3, bq2, blo, bhi = carry
+            state, posw, bq2, blo, bhi = carry
             bnd = (blo, bhi)
-        else:
+            w0 = w1 = w2 = w3 = None
+        elif lazy_refill or not slim_carry:
             state, posw, w0, w1, w2, w3, bq2 = carry
             bnd = None
+        else:
+            # EAGER carry slimming: the windows never cross the chunk
+            # boundary live (m = 3 refills before any step uses them), and
+            # loop-carried (T,128) tensors are expensive — the r5 bridge
+            # kernel measured 4 extra carried tensors at -34% throughput
+            # (45.6 -> 30.0 G-sym/s) even when dead. Keep them body-local.
+            state, posw, bq2 = carry
+            bnd = None
+            w0 = w1 = w2 = w3 = None
         cc = (S // CHUNK) - 1 - c  # chunks processed high-to-low
         packs = [None] * (CHUNK // GROUP)
+        chunk_rb = None  # "reuse": the m == 3 refill's bounds for m == 1
         for m in range(CHUNK // GROUP - 1, -1, -1):
             # each per-group window covers two 4-step groups; refill on odd m
             if m % 2 == 1:
@@ -621,7 +669,16 @@ def _decode_kernel(
                     )
                 else:
                     pa = posw + bq2
-                    (w0, w1, w2, w3), bq, bnd = refill(pa, bnd)
+                    (w0, w1, w2, w3), bq, nb_ = refill(
+                        pa, bnd,
+                        reuse_from=(
+                            chunk_rb if refill_mode == "reuse" else None
+                        ),
+                    )
+                    if refill_mode == "reuse":
+                        chunk_rb = nb_
+                    else:
+                        bnd = nb_
                     bq2 = bq << 1
                     posw = pa - bq2
             wins = (w0, w1, w2, w3)
@@ -772,20 +829,25 @@ def _decode_kernel(
                 )
                 out_ref[:, 16 * g + 2 * cc + p, :] = pair
         if refill_pipe:
-            return state, posw, w0, w1, w2, w3, bq2, bnd[0], bnd[1]
-        return state, posw, w0, w1, w2, w3, bq2
+            return state, posw, bq2, bnd[0], bnd[1]
+        if lazy_refill or not slim_carry:
+            return state, posw, w0, w1, w2, w3, bq2
+        return state, posw, bq2
 
-    init = (
-        states_ref[:],
-        # lazy mode: a huge initial bq2 (with posw shifted to compensate)
-        # forces the first refill's need-check true
-        cwords - (1 << 29) if lazy_refill else cwords,
-        zeros,
-        zeros,
-        zeros,
-        zeros,
-        zeros + (1 << 29) if lazy_refill else zeros,
-    )
+    if lazy_refill or not slim_carry:
+        init = (
+            states_ref[:],
+            # lazy mode: a huge initial bq2 (with posw shifted to
+            # compensate) forces the first refill's need-check true
+            cwords - (1 << 29) if lazy_refill else cwords,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+            zeros + (1 << 29) if lazy_refill else zeros,
+        )
+    else:
+        init = (states_ref[:], cwords, zeros)
     if refill_pipe:
         # initial page bounds from the XLA prologue (exact for refill 0,
         # which recomputes base from the same pos = cwords)
@@ -858,12 +920,15 @@ def _build_decode_call(
     full_tiles: bool = False,
     lut_mode: str = "two",
     refill_mode: str = "pergroup",
+    slim_carry: bool = True,
 ):
     K = 1 << prob_bits
     SR = rank_rows(prob_bits) if lut_mode == "rank" else max(K // 512, 1)
     grid = NBp // (BPR * T)
     RT = rt_rows if rt_rows is not None else BPR * T * (MW // 256) + 48
     refill_stack = refill_mode == "stacked"
+    # the pipelined carry layout is always slim (state, posw, bq2, bounds)
+    slim_carry = slim_carry or refill_mode == "pipelined"
     assert not (lazy_refill and refill_mode == "pipelined"), (
         "lazy refill carries its windows under lax.cond; the pipelined "
         "bounds carry is not wired through that path"
@@ -878,7 +943,7 @@ def _build_decode_call(
     kernel = functools.partial(
         _decode_kernel, prob_bits, T, fuse_ft, per_row_tables, RT,
         lut_mode, refill_mode, nc_mode,
-        with_cksum, lazy_refill, act_spec, full_tiles,
+        with_cksum, lazy_refill, slim_carry, act_spec, full_tiles,
     )
     if per_row_tables:
         table_specs = [
@@ -1030,7 +1095,9 @@ def _build_decode_call(
         # capped fused tiles at T=80. Raising it lets larger tiles amortize
         # per-vector-op fixed overhead across more sublane rows.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            # v5e has 128 MB physical VMEM; the static refill chain at
+            # T=512 needs ~103 MB scoped (r5 session C OOM at 100)
+            vmem_limit_bytes=112 * 1024 * 1024
         ),
     )
 
@@ -1161,23 +1228,53 @@ def _lut_mode() -> str:
     return m
 
 
+def _slim_carry() -> bool:
+    """Eager chunk-loop carry layout (A/B knob). "on" (default) drops the
+    four window tensors from the fori carry — they never cross the chunk
+    boundary live in eager mode (m = 3 refills before first use). The r5
+    bridge kernel measured 4 extra LIVE loop-carried (T,128) tensors at
+    -34% (45.6 -> 30.0 G-sym/s synthetic), but the real-kernel A/B was a
+    WASH (r5 session B, 128Mi bf16: 10.06/10.03/10.08 ms on/off/on) —
+    Mosaic already dead-code-eliminates the dead carry. Kept as the
+    simpler default; "off" reproduces the round-4 7-tensor carry."""
+    return _os.environ.get("DIETGPU_DECODE_SLIMCARRY", "on") != "off"
+
+
 def _refill_mode() -> str:
     """Refill page-loop strategy (hardware A/B knob).
 
     "pipelined": pergroup layout, page bounds computed one refill ahead
     so the vector->scalar readback feeding the dynamic fori bound hides
     behind 8 steps of compute, and finished blocks are excluded from the
-    bounds (hardware A/B pending; default flips if it wins).
+    bounds. Measured a WASH on the v5e (r5 session A, A/B/A at 128Mi
+    bf16 fused: 10.20 / 10.31 / 10.09 ms) — Mosaic already hides the
+    per-refill scalar readback, so the refill ablation share is the
+    page-loop's vector work, not sync stalls. Knob kept as evidence.
     "pergroup" (default): bounds reduced and read back synchronously
     every refill.
     "stacked": one (4T, ROWS, 128) stream scratch so each page is one
     wide gather; measured a wash vs pergroup on the v5e (5.38 vs 5.37 ms
-    at 64Mi bf16, r4 session A)."""
+    at 64Mi bf16, r4 session A).
+    "static": NO reductions and NO dynamic page loop — a fully static
+    unrolled chain over all ROWS_PER_BLOCK pages. Measured a LOSS on the
+    v5e (r5 session C, 128Mi bf16 fused A/B/A: 10.04 / 12.41 / 10.03 ms):
+    the ~3x extra page gathers outweigh the dynamic-loop overhead they
+    remove. Knob kept as evidence.
+    "reuse": the chunk's second refill (python-static position m == 1)
+    reuses the m == 3 refill's page bounds widened by one page (base
+    moves <= one page per refill; hi is monotone non-increasing) —
+    halving the two full (T,128) min/max reductions that dominate the
+    refill's fixed cost, with no dynamic control flow and no extra
+    carries. Measured a LOSS on the v5e (r5 session C2, 128Mi bf16
+    fused: 10.07 vs 10.47 ms): the widened page trip at the second
+    refill outcosts the saved reductions — the page-trip gathers, not
+    the reductions, are the refill's real cost. Knob kept as
+    evidence."""
     m = _os.environ.get("DIETGPU_DECODE_REFILL2", "pergroup")
-    if m not in ("pergroup", "stacked", "pipelined"):
+    if m not in ("pergroup", "stacked", "pipelined", "static", "reuse"):
         raise ValueError(
-            f"DIETGPU_DECODE_REFILL2={m!r} must be 'pergroup', 'stacked' "
-            "or 'pipelined'"
+            f"DIETGPU_DECODE_REFILL2={m!r} must be 'pergroup', 'stacked', "
+            "'pipelined', 'static' or 'reuse'"
         )
     return m
 
@@ -1423,7 +1520,7 @@ def ans_decode_padded_pallas(
         # every block full AND no grid-padding blocks -> unmasked hot loop
         full_tiles=static_full and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
-        lut_mode=lm, refill_mode=rm,
+        lut_mode=lm, refill_mode=rm, slim_carry=_slim_carry(),
     )
     if rm == "pipelined":
         # insert the per-tile initial page bounds after the two standard
@@ -1788,7 +1885,7 @@ def ans_decode_batched_pallas(
         # static member geometry with every block full -> unmasked hot loop
         full_tiles=static_full and static_geom and NBp == NB
         and _os.environ.get("DIETGPU_DECODE_FULLTILES") != "off",
-        lut_mode=lm, refill_mode=rm,
+        lut_mode=lm, refill_mode=rm, slim_carry=_slim_carry(),
     )
     if rm == "pipelined":
         # per-tile initial page bounds over the batch-flattened block

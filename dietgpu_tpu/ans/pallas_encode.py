@@ -111,6 +111,16 @@ def _flushstack() -> bool:
     return _os.environ.get("DIETGPU_ENCODE_FLUSHSTACK", "off") == "on"
 
 
+def _slimcarry_enc() -> bool:
+    """Encode chunk-loop carry layout (A/B knob). "on" (default) carries
+    only (state, register 0, fill, base) across chunk iterations — the
+    chunk's final flush zeroes registers 1..G, so they cross the boundary
+    as known-zeros. Real-kernel A/B: WASH (r5 session B, 128Mi bf16
+    compress: 23.52/23.57/23.50 ms on/off/on) — Mosaic already eliminates
+    the known-zero carry. Kept as the simpler default."""
+    return _os.environ.get("DIETGPU_ENCODE_SLIMCARRY", "on") != "off"
+
+
 def _flushpipe() -> bool:
     """Pipelined flush page bounds (A/B knob, decode's pipelined-refill
     twin): each flush's page-loop bounds were computed ONE FLUSH AHEAD
@@ -120,8 +130,11 @@ def _flushpipe() -> bool:
     block's staging base is monotone non-decreasing and advances <= 128
     words (one page) per flush, and the LO bound takes min over ALL live
     blocks (a not-yet-ready block can turn ready at a lower page than any
-    currently-ready one). Hardware A/B pending; default flips if it
-    wins."""
+    currently-ready one). Measured a LOSS on the v5e (r5 session A,
+    A/B/A at 128Mi bf16 full compress: 23.58 / 26.24 / 23.51 ms): the
+    conservative bounds widen the page loop by up to two pages per
+    flush, which costs more than the scalar readbacks Mosaic was already
+    hiding. Knob kept as evidence; default stays off."""
     return _os.environ.get("DIETGPU_ENCODE_FLUSHPIPE", "off") == "on"
 
 
@@ -183,6 +196,7 @@ def _encode_kernel(
     datamode: str,  # "perstep" 4-gather fetch | "quartet" chunk-rotated
     flush_stack: bool,  # stacked flush broadcast-gathers
     flush_pipe: bool,  # page bounds computed one flush ahead (see _flushpipe)
+    slim_carry: bool,  # carry only (state, w0, fill, base) across chunks
     # statically guaranteed: every block in the grid is full (length ==
     # NBp * 4096) — the per-step activity compare and its two act-selects
     # vanish for the whole grid (same trick as the decode kernel)
@@ -474,6 +488,15 @@ def _encode_kernel(
         return (state2, *wins, fillc, base, *rest[NWIN + 2 :])
 
     def chunk_body(c, carry):
+        if slim_carry:
+            # only window register 0 crosses the chunk boundary live: the
+            # chunk's final flush zeroes registers 1..G (flush_windows
+            # returns (w0,) + (zeros,)*G), and loop-carried (T,128)
+            # tensors are expensive (r5 bridge kernel: 4 extra carried
+            # tensors cost -34%). Rebuild the known-zero registers here.
+            state_c, w0c, fill_c, base_c, *extra = carry
+            carry = (state_c, w0c) + (zeros,) * G + (fill_c, base_c,
+                                                     *extra)
         loads = [data_ref[:, 8 * g + c, :] for g in range(BPR)]
         if datamode == "quartet" and "data" not in _ABLATE:
             # rotate the group rows into quartet rows once per chunk:
@@ -505,19 +528,35 @@ def _encode_kernel(
             carry = (carry[0], *wins, fill, base) + (
                 nbnd if flush_pipe else ()
             )
+        if slim_carry:
+            # registers 1..G are zeros after the final flush above
+            return (carry[0], carry[1], carry[1 + NWIN],
+                    carry[2 + NWIN], *carry[3 + NWIN :])
         return carry
 
-    init = (
-        jnp.full((T, 128), C.ANS_START_STATE, _I32),
-        *((zeros,) * NWIN),
-        zeros,
-        zeros,
-    )
+    if slim_carry:
+        init = (
+            jnp.full((T, 128), C.ANS_START_STATE, _I32),
+            zeros,
+            zeros,
+            zeros,
+        )
+    else:
+        init = (
+            jnp.full((T, 128), C.ANS_START_STATE, _I32),
+            *((zeros,) * NWIN),
+            zeros,
+            zeros,
+        )
     if flush_pipe:
         # flush 0 drains registers whose pages span at most [0, 1]
         init = init + (jnp.int32(0), jnp.int32(1))
     final = jax.lax.fori_loop(0, S // CHUNK, chunk_body, init)
     state = final[0]
+
+    if slim_carry:
+        # re-expand: (state, w0, fill, base, *bnds) -> full register tuple
+        final = (final[0], final[1]) + (zeros,) * G + tuple(final[2:])
 
     # final partial-window flush (full quarters + the lane-masked tail;
     # one more register than in-loop flushes — the +2 page bound covers it)
@@ -535,12 +574,12 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int,
                        per_row_tables: bool = False, G: int = 4,
                        divmode: str = "magic", full_tiles: bool = False,
                        datamode: str = "perstep", flush_stack: bool = False,
-                       flush_pipe: bool = False):
+                       flush_pipe: bool = False, slim_carry: bool = True):
     assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
     kernel = functools.partial(
         _encode_kernel, prob_bits, T, per_row_tables, G, divmode,
-        datamode, flush_stack, flush_pipe, full_tiles
+        datamode, flush_stack, flush_pipe, slim_carry, full_tiles
     )
     NR = NBp // BPR
     if per_row_tables:
@@ -779,7 +818,7 @@ def _encode_stage1(
         NBp, prob_bits, T // BPR, G=_flush_group(), divmode=dm,
         full_tiles=full_tiles,
         datamode=_datamode(), flush_stack=_flushstack(),
-        flush_pipe=_flushpipe(),
+        flush_pipe=_flushpipe(), slim_carry=_slimcarry_enc(),
     )
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
@@ -1126,7 +1165,7 @@ def ans_encode_batched_pallas(
             full_tiles=static_n == L and NBm == NB
             and _os.environ.get("DIETGPU_ENCODE_FULLTILES") != "off",
             datamode=_datamode(), flush_stack=_flushstack(),
-            flush_pipe=_flushpipe(),
+            flush_pipe=_flushpipe(), slim_carry=_slimcarry_enc(),
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre

@@ -1134,7 +1134,7 @@ def test_shard_codec_tpu_1dev(rng):
 
     sharding_mod._sharded_encode.cache_clear()
     sharding_mod._sharded_decode.cache_clear()
-    mesh = jsh.Mesh(np.array(jax.devices()[:1]), ("d",))
+    mesh = jsh.Mesh(np.array(jax.devices()[:1]), ("dp",))
     L = 4 * C.DEFAULT_BLOCK_SIZE
     data = _expo_bytes(rng, L).reshape(1, L)
     lengths = np.full(1, L, np.int32)
