@@ -121,6 +121,32 @@ def _slimcarry_enc() -> bool:
     return _os.environ.get("DIETGPU_ENCODE_SLIMCARRY", "on") != "off"
 
 
+def _scattermode() -> str:
+    """Window-append scatter strategy in the encode hot loop (A/B knob).
+
+    "search": the round-2 inverse-permutation path — a 5-round binary
+    search over the group's rank prefix (5 lane-gathers) followed by one
+    value gather per step: 6 of the step's ~9 gathers.
+    "bfly": gather-free LSB-first butterfly compaction — writers carry
+    their left-shift (lane - rank + 1, non-decreasing within the group,
+    so the 1/2/4/8/16 rotate rounds are provably collision-free and never
+    cross the 32-lane group boundary) packed in bits 16..20 of the value;
+    5 static lane-rolls + selects route every writer to its group-local
+    rank slot, then ONE gather rotates the compacted row by the window
+    fill. Replaces 6 data-dependent gathers with 5 static rolls + 1
+    gather (the reference's ballot/popc + shfl write, GpuANSEncode.cuh:
+    68-74, re-derived as a routing network instead of a search).
+    Hardware A/B (v5e, 2026-08-21, A/B/A): full bf16 compress 128Mi
+    23.59/23.08/23.54 ms, raw ANS encode 64Mi 11.76/11.51/12.55 ms —
+    bfly wins ~2-4% and is the default; archives bit-identical."""
+    m = _os.environ.get("DIETGPU_ENCODE_SCATTER", "bfly")
+    if m not in ("search", "bfly"):
+        raise ValueError(
+            f"DIETGPU_ENCODE_SCATTER={m!r} must be 'search' or 'bfly'"
+        )
+    return m
+
+
 def _flushpipe() -> bool:
     """Pipelined flush page bounds (A/B knob, decode's pipelined-refill
     twin): each flush's page-loop bounds were computed ONE FLUSH AHEAD
@@ -194,6 +220,7 @@ def _encode_kernel(
     G: int,  # steps between window flushes (window = G+1 registers)
     divmode: str,  # "magic" umulhi division | "f32" reciprocal+correction
     datamode: str,  # "perstep" 4-gather fetch | "quartet" chunk-rotated
+    scatter_mode: str,  # "search" rank binary-search | "bfly" butterfly
     flush_stack: bool,  # stacked flush broadcast-gathers
     flush_pipe: bool,  # page bounds computed one flush ahead (see _flushpipe)
     slim_carry: bool,  # carry only (state, w0, fill, base) across chunks
@@ -465,15 +492,34 @@ def _encode_kernel(
         # each of them). The gather offsets gbase + b - 1 are hoisted
         # kernel constants (sbase[b]), so each search round is
         # add/gather/compare/select — four ops, not five.
-        jj1 = ((lane31 - fill) & 31) + 1
-        if "search" not in _ABLATE:
+        if "search" in _ABLATE:
+            val = outv
+        elif scatter_mode == "bfly":
+            # gather-free butterfly compaction: writer lane 32g+j routes
+            # LEFT by s = j - (rank-1) to group-local slot rank-1. s is
+            # non-decreasing over writers within a group, so LSB-first
+            # rotate rounds (1,2,4,8,16) are collision-free (verified
+            # exhaustively for n=16 masks + 2e5 random n=32), and a value
+            # still owing >= b of shift always sits >= b lanes above its
+            # group base — candidates crossing a group boundary never
+            # have bit b set, so plain full-row rolls need no wrap fix.
+            # Shift travels in bits 16..20 of the packed value; after the
+            # 5 rounds writers sit compacted at slots 0..cnt-1 and one
+            # gather rotates the compacted row by the window fill.
+            v = jnp.where(write, outv | ((lane31 - r + 1) << 16), 0)
+            for b in (1, 2, 4, 8, 16):
+                cand = pltpu.roll(v, 128 - b, 1)  # cand[l] = v[l + b]
+                cbit = (cand & (b << 16)) != 0
+                keep = jnp.where((v & (b << 16)) != 0, 0, v)
+                v = jnp.where(cbit, cand - (b << 16), keep)
+            val = _taa(v, gbase | ((lane31 - fill) & 31)) & 0xFFFF
+        else:
+            jj1 = ((lane31 - fill) & 31) + 1
             wsel = zeros
             for b in (16, 8, 4, 2, 1):
                 v = _taa(r, sbase[b] + wsel)
                 wsel = jnp.where(v < jj1, wsel + b, wsel)
             val = _taa(outv, gbase | (wsel & 31))
-        else:
-            val = outv
         fillc = fill + cnt
         # step sd (since the last flush) can only reach registers
         # 0..sd+1: fill < 32 + 32*sd and at most 32 more words land now.
@@ -574,12 +620,14 @@ def _build_encode_call(NBp: int, prob_bits: int, T: int,
                        per_row_tables: bool = False, G: int = 4,
                        divmode: str = "magic", full_tiles: bool = False,
                        datamode: str = "perstep", flush_stack: bool = False,
-                       flush_pipe: bool = False, slim_carry: bool = True):
+                       flush_pipe: bool = False, slim_carry: bool = True,
+                       scatter_mode: str = "search"):
     assert CHUNK % G == 0, f"flush group {G} must divide CHUNK"
     grid = NBp // (BPR * T)
     kernel = functools.partial(
         _encode_kernel, prob_bits, T, per_row_tables, G, divmode,
-        datamode, flush_stack, flush_pipe, slim_carry, full_tiles
+        datamode, scatter_mode, flush_stack, flush_pipe, slim_carry,
+        full_tiles
     )
     NR = NBp // BPR
     if per_row_tables:
@@ -819,6 +867,7 @@ def _encode_stage1(
         full_tiles=full_tiles,
         datamode=_datamode(), flush_stack=_flushstack(),
         flush_pipe=_flushpipe(), slim_carry=_slimcarry_enc(),
+        scatter_mode=_scattermode(),
     )
     staged, counts, states_out = call(meta, d32, pcs, magic, pre)
 
@@ -1166,6 +1215,7 @@ def ans_encode_batched_pallas(
             and _os.environ.get("DIETGPU_ENCODE_FULLTILES") != "off",
             datamode=_datamode(), flush_stack=_flushstack(),
             flush_pipe=_flushpipe(), slim_carry=_slimcarry_enc(),
+            scatter_mode=_scattermode(),
         )
         staged, counts, states_out = call(
             meta, d32, pcs_rows, magic_rows, pre

@@ -912,7 +912,8 @@ def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
 
 # ---- round-4 gather-mode knobs -----------------------------------------
 # The DEFAULT arms (decode rank-LUT + PERGROUP refill; encode quartet
-# fetch with FLUSHSTACK off) are exercised by every test above. These pin
+# fetch + butterfly scatter with FLUSHSTACK off) are exercised by every
+# test above. These pin
 # the legacy arms, the measured-loser knob arms (stacked refill / stacked
 # flush — kept as documented evidence), and the rank-LUT's adversarial
 # corner (zero-pdf cumsum ties, which is why the table stores
@@ -940,8 +941,13 @@ def test_shard_codec_pallas_backend_interpret(interpret_pallas, rng,
             "DIETGPU_DECODE_REFILL2": "pipelined",
             "DIETGPU_ENCODE_FLUSHPIPE": "on",
         },
+        # round-5 session-B2: the pre-butterfly rank binary-search scatter
+        # (the default became the gather-free butterfly network)
+        {
+            "DIETGPU_ENCODE_SCATTER": "search",
+        },
     ],
-    ids=["legacy", "stacked", "pipelined"],
+    ids=["legacy", "stacked", "pipelined", "search-scatter"],
 )
 def test_pallas_legacy_gather_modes_interpret(
     interpret_pallas, rng, monkeypatch, knobs
